@@ -1,0 +1,409 @@
+"""Exact 3/4-node graphlet decomposition (macro + micro) on Spark.
+
+Semantics match the reference macro/micro loops exactly
+(graphlet_core.cpp:1366-1474 macro, 1483-1623 micro):
+
+* per edge e=(v,u), oriented so deg(v) <= deg(u):
+    tri  = |N(v) ∩ N(u)|                                  (triangle nodes)
+    cliq = #adjacent unordered pairs within the triangle-node set
+           = #4-cliques containing e
+    cyc  = #adjacent pairs (w, x), w ∈ N(u)\\N(v)\\{v},
+           x ∈ N(v)\\N(u)\\{u}  = #induced 4-cycles containing e
+* everything else is O(1) combinatorial closure
+  (solve_graphlet_equations, cpp:1326-1364; totals cpp:1449-1472).
+
+Two physical strategies (like the reference's dense-adjacency vs CSR
+split at cpp:602-611):
+
+* ``broadcast``   — graph fits comfortably in one executor: broadcast
+  CSR arrays once, run an Arrow-batched numpy kernel per edge
+  partition.  No shuffles beyond the initial degree/orientation pass.
+* ``distributed`` — pure Catalyst plan: adjacency-array joins +
+  ``array_intersect`` for triangles; explode-and-join second hops for
+  cliques and cycles.  Everything stays JVM-side (no Python), shuffles
+  hash on vertex keys, AQE handles residual skew, and the degree
+  orientation bounds exploded fan-out by the smaller endpoint degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pgd_spark.graph import Graph
+
+# columns produced by both kernel strategies
+EDGE_COUNT_COLS = ["v", "u", "deg_v", "deg_u", "tri", "cliq", "cyc"]
+
+_DEC = "decimal(38,0)"
+
+
+def edge_graphlet_counts(
+    g: Graph,
+    strategy: str = "auto",
+    broadcast_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Per-edge raw kernel counts [v,u,deg_v,deg_u,tri,cliq,cyc].
+
+    ``auto`` picks broadcast when the graph is small enough to ship to
+    every executor (the common case for anything that fits PGD itself),
+    else the fully distributed Catalyst plan.
+    """
+    if strategy == "auto":
+        strategy = "broadcast" if g.num_edges() <= broadcast_max_edges else "distributed"
+    if strategy == "broadcast":
+        return _edge_counts_broadcast(g)
+    if strategy == "distributed":
+        return _edge_counts_distributed(g)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+# ---------------------------------------------------------------- broadcast
+def _edge_counts_broadcast(g: Graph) -> DataFrame:
+    import numpy as np
+
+    from pgd_spark.operators.kernels import build_csr, make_broadcast_kernel
+
+    edges_pdf = g.edges.toPandas()
+    src = edges_pdf["src"].to_numpy(dtype=np.int64)
+    dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+    csr = build_csr(src, dst)
+    bc = g.spark.sparkContext.broadcast(csr)
+    ori = g.oriented()
+    out = ori.mapInPandas(
+        make_broadcast_kernel(bc),
+        schema="v long, u long, deg_v long, deg_u long, tri long, cliq long, cyc long",
+    )
+    return out
+
+
+# -------------------------------------------------------------- distributed
+def _edge_counts_distributed(g: Graph) -> DataFrame:
+    adj = g.adjacency()
+    ori = g.oriented()
+
+    base = (
+        ori.join(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")), ori.v == F.col("_v"))
+        .drop("_v")
+        .join(adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu")), ori.u == F.col("_u"))
+        .drop("_u")
+        .select(
+            "v",
+            "u",
+            "deg_v",
+            "deg_u",
+            F.array_intersect("nv", "nu").alias("tri_arr"),
+            # W_u = N(u)\{v}\N(v)   (wedge nodes centered at u, marks==2)
+            F.array_except(F.array_remove("nu", F.col("v")), "nv").alias("wu"),
+            # N(v)\{u}\N(u)         (marks==1 side scanned by the cycle kernel)
+            F.array_except(F.array_remove("nv", F.col("u")), "nu").alias("wv"),
+        )
+        .withColumn("tri", F.size("tri_arr").cast("long"))
+    )
+    base = base.persist()
+
+    adj_w = adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw"))
+
+    # 4-cliques: explode triangle nodes, count adjacency back into the
+    # triangle-node set; ordered pairs / 2.
+    cliq = (
+        base.filter(F.col("tri") >= 2)
+        .select("v", "u", "tri_arr", F.explode("tri_arr").alias("w"))
+        .join(adj_w, "w")
+        .select("v", "u", F.size(F.array_intersect("nw", "tri_arr")).alias("hits"))
+        .groupBy("v", "u")
+        .agg((F.sum("hits") / 2).cast("long").alias("cliq"))
+    )
+
+    # 4-cycles: explode wedge nodes (u side), count adjacency into the
+    # v-only side.
+    cyc = (
+        base.filter((F.size("wu") > 0) & (F.size("wv") > 0))
+        .select("v", "u", "wv", F.explode("wu").alias("w"))
+        .join(adj_w, "w")
+        .select("v", "u", F.size(F.array_intersect("nw", "wv")).alias("hits"))
+        .groupBy("v", "u")
+        .agg(F.sum("hits").cast("long").alias("cyc"))
+    )
+
+    out = (
+        base.select("v", "u", "deg_v", "deg_u", "tri")
+        .join(cliq, ["v", "u"], "left")
+        .join(cyc, ["v", "u"], "left")
+        .fillna(0, subset=["cliq", "cyc"])
+    )
+    return out
+
+
+# ------------------------------------------------------------------- micro
+def micro_counts(
+    g: Graph,
+    strategy: str = "auto",
+    pgd_quirk: bool = True,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-edge micro graphlet counts, reference output semantics.
+
+    Columns mirror the reference micro CSV header
+    (graphlet_core.cpp:1676-1684): src, dst, triangle, two_star,
+    clique4, chordal_cycle4, tailed_tri4, cycle4, star3, path4.
+
+    ``pgd_quirk=True`` reproduces the reference exactly: the
+    ``local_4_tailed_tris`` vector is never assigned in the snapshot
+    (resized cpp:1501, read cpp:1541/1575/1698) so ``tailed_tri4`` is
+    always 0 and ``star3`` does not subtract it.  ``pgd_quirk=False``
+    computes the corrected value: #induced tailed-triangles in which e
+    is the tail edge (adjacent pairs within W_u plus within W_v — the
+    unwired cycle_micro kernel, cpp:1193-1204, from both endpoints).
+    """
+    c = counts if counts is not None else edge_graphlet_counts(g, strategy)
+    tri, dv, du = F.col("tri"), F.col("deg_v"), F.col("deg_u")
+    rv = dv - tri - 1  # 2-star ends at v
+    ru = du - tri - 1
+    tailed = F.lit(0).cast("long")
+    if not pgd_quirk:
+        tailed = F.col("tailed_raw")
+        c = _with_tailed_raw(g, c)
+    out = c.select(
+        F.least("v", "u").alias("src"),
+        F.greatest("v", "u").alias("dst"),
+        tri.alias("triangle"),
+        (rv + ru).cast("long").alias("two_star"),
+        F.col("cliq").alias("clique4"),
+        ((tri * (tri - 1) / 2).cast("long") - F.col("cliq")).alias("chordal_cycle4"),
+        tailed.alias("tailed_tri4"),
+        F.col("cyc").alias("cycle4"),
+        (
+            (rv * (rv - 1) / 2).cast("long")
+            + (ru * (ru - 1) / 2).cast("long")
+            - tailed
+        ).alias("star3"),
+        (rv * ru - F.col("cyc")).cast("long").alias("path4"),
+    )
+    return out
+
+
+def _with_tailed_raw(g: Graph, counts: DataFrame) -> DataFrame:
+    """Adds ``tailed_raw``: adjacent pairs within W_u + within W_v
+    (the corrected per-edge tailed-triangle count; e as tail edge)."""
+    adj = g.adjacency()
+    adj_w = adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw"))
+    ori = g.oriented().select("v", "u")
+    base = (
+        ori.join(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")), F.col("v") == F.col("_v"))
+        .drop("_v")
+        .join(adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu")), F.col("u") == F.col("_u"))
+        .drop("_u")
+        .select(
+            "v",
+            "u",
+            F.array_except(F.array_remove("nu", F.col("v")), "nv").alias("wu"),
+            F.array_except(F.array_remove("nv", F.col("u")), "nu").alias("wv"),
+        )
+    )
+
+    def _pairs(side: str):
+        return (
+            base.filter(F.size(side) >= 2)
+            .select("v", "u", F.col(side).alias("s"), F.explode(side).alias("w"))
+            .join(adj_w, "w")
+            .select("v", "u", F.size(F.array_intersect("nw", "s")).alias("hits"))
+            .groupBy("v", "u")
+            .agg((F.sum("hits") / 2).cast("long").alias("p"))
+        )
+
+    tu = _pairs("wu").withColumnRenamed("p", "tw_u")
+    tv = _pairs("wv").withColumnRenamed("p", "tw_v")
+    return (
+        counts.join(tu, ["v", "u"], "left")
+        .join(tv, ["v", "u"], "left")
+        .fillna(0, subset=["tw_u", "tw_v"])
+        .withColumn("tailed_raw", (F.col("tw_u") + F.col("tw_v")).cast("long"))
+        .drop("tw_u", "tw_v")
+    )
+
+
+# ------------------------------------------------------------------- macro
+MACRO_KEYS = [
+    "total_2_1edge",
+    "total_2_indep",
+    "total_3_tris",
+    "total_2_star",
+    "total_3_1edge",
+    "total_3_indep",
+    "total_4_clique",
+    "total_4_chordcycle",
+    "total_4_tailed_tris",
+    "total_4_cycle",
+    "total_3_star",
+    "total_4_path",
+    "total_4_1edge",
+    "total_4_2edge",
+    "total_4_2star",
+    "total_4_tri",
+    "total_4_indep",
+]
+
+
+def macro_counts(
+    g: Graph,
+    strategy: str = "auto",
+    counts: DataFrame | None = None,
+) -> dict:
+    """All 17 graphlet totals + wedges/global_cc, exact.
+
+    One pass: per-edge closed-form terms N1..N10 + raw kernel sums are
+    aggregated in a single ``agg`` (Spark's partial aggregation is the
+    analog of the reference's per-thread counters, cpp:1370-1374,
+    1431-1448); the final closure (cpp:1449-1472) runs on the driver in
+    exact Python ints — the disconnected terms overflow int64 on
+    10^9-vertex graphs, hence decimal sums for N1/N8/N9/N10.
+    """
+    n = g.num_vertices()
+    m = g.num_edges()
+    c = counts if counts is not None else edge_graphlet_counts(g, strategy)
+    tri, dv, du = F.col("tri"), F.col("deg_v"), F.col("deg_u")
+    star = (dv - tri - 1) + (du - tri - 1)
+    disconn = F.lit(n) - (star + tri) - 2
+    rv, ru = dv - tri - 1, du - tri - 1
+    terms = c.select(
+        tri.alias("t_tri"),
+        star.alias("t_star"),
+        disconn.cast(_DEC).alias("t_disc"),
+        F.col("cliq").alias("t_cliq"),
+        F.col("cyc").alias("t_cyc"),
+        ((tri + star) * (tri + star - 1) / 2).cast(_DEC).alias("n1"),
+        (star * (star - 1) / 2).cast("long").alias("n2"),
+        (tri * (tri - 1) / 2).cast("long").alias("n3"),
+        (tri * star).cast("long").alias("n4"),
+        (rv * ru).cast("long").alias("n5"),
+        ((rv * (rv - 1) / 2) + (ru * (ru - 1) / 2)).cast("long").alias("n6"),
+        (F.lit(m) - dv - du + 1).cast("long").alias("n7"),
+        (disconn * (disconn - 1) / 2).cast(_DEC).alias("n8"),
+        (star * disconn).cast(_DEC).alias("n9"),
+        (tri * disconn).cast(_DEC).alias("n10"),
+    )
+    row = terms.agg(*[F.sum(col).alias(col) for col in terms.columns]).first()
+    s = {k: int(row[k] or 0) for k in terms.columns}
+
+    # closure equations, exact ints (cpp:1449-1472)
+    t: dict = {}
+    t["total_2_1edge"] = m
+    t["total_2_indep"] = n * (n - 1) // 2 - m
+    t["total_3_tris"] = s["t_tri"] // 3
+    t["total_2_star"] = s["t_star"] // 2
+    t["total_3_1edge"] = s["t_disc"]
+    t["total_3_indep"] = n * (n - 1) * (n - 2) // 6 - (
+        t["total_3_tris"] + t["total_2_star"] + t["total_3_1edge"]
+    )
+    t["total_wedges"] = 3 * t["total_3_tris"] + t["total_2_star"]
+    t["global_cc"] = (3 * t["total_3_tris"] / t["total_wedges"]) if t["total_wedges"] else 0.0
+    t["total_4_clique"] = s["t_cliq"] // 6
+    t["total_4_chordcycle"] = s["n3"] - 6 * t["total_4_clique"]
+    t["total_4_cycle"] = s["t_cyc"] // 4
+    t["total_4_path"] = s["n5"] - 4 * t["total_4_cycle"]
+    t["total_4_tailed_tris"] = (s["n4"] - 4 * t["total_4_chordcycle"]) // 2
+    t["total_3_star"] = (s["n6"] - t["total_4_tailed_tris"]) // 3
+    t["total_4_2edge"] = (
+        s["n7"]
+        - 6 * t["total_4_clique"]
+        - 4 * t["total_4_cycle"]
+        - 4 * t["total_4_chordcycle"]
+        - 2 * t["total_4_path"]
+        - 2 * t["total_4_tailed_tris"]
+    ) // 2
+    t["total_4_1edge"] = s["n8"] - 2 * t["total_4_2edge"]
+    t["total_4_2star"] = (s["n9"] - 2 * t["total_4_path"]) // 2
+    t["total_4_tri"] = (s["n10"] - t["total_4_tailed_tris"]) // 3
+    k4 = [
+        "total_4_clique",
+        "total_4_chordcycle",
+        "total_4_tailed_tris",
+        "total_4_cycle",
+        "total_3_star",
+        "total_4_path",
+        "total_4_1edge",
+        "total_4_2edge",
+        "total_4_2star",
+        "total_4_tri",
+    ]
+    t["total_4_indep"] = n * (n - 1) * (n - 2) * (n - 3) // 24 - sum(t[x] for x in k4)
+    t["_nsums"] = {f"n{i}": s[f"n{i}"] for i in range(1, 11)}
+    return t
+
+
+# -------------------------------------------------------------------- GFD
+CONNECTED_GFD_KEYS = [
+    "total_4_clique",
+    "total_4_chordcycle",
+    "total_4_tailed_tris",
+    "total_4_cycle",
+    "total_3_star",
+    "total_4_path",
+]
+DISCONNECTED_GFD_KEYS = [
+    "total_4_tri",
+    "total_4_2star",
+    "total_4_2edge",
+    "total_4_1edge",
+    "total_4_indep",
+]
+
+
+def _gfd(totals: dict, keys: list[str], force_tail: bool) -> list[float]:
+    vals = [totals[k] for k in keys]
+    sm = sum(vals)
+    out = [(v / sm if sm > 0 else 0.0) for v in vals]
+    if force_tail and sm > 0:
+        # reference forces the last element to 1 - cumsum (cpp:2002, 2037)
+        out[-1] = 1.0 - sum(out[:-1])
+    return out
+
+
+def compute_connected_gfd(totals: dict) -> list[float]:
+    return _gfd(totals, CONNECTED_GFD_KEYS, force_tail=False)
+
+
+def compute_disconnected_gfd(totals: dict) -> list[float]:
+    return _gfd(totals, DISCONNECTED_GFD_KEYS, force_tail=True)
+
+
+def compute_gfd(totals: dict) -> list[float]:
+    return _gfd(totals, CONNECTED_GFD_KEYS + DISCONNECTED_GFD_KEYS, force_tail=True)
+
+
+# ------------------------------------------------------------- invariants
+def check_identities(totals: dict) -> dict[str, bool]:
+    """The ten ΣN_i ↔ closed-total identities the reference verifies
+    under -v (test_graphlet_counts, cpp:1275-1305).  Returns per-
+    identity booleans; all must be True on any graph."""
+    s = totals["_nsums"]
+    t = totals
+    checks = {
+        "n1": s["n1"]
+        == 3 * t["total_3_star"]
+        + 3 * t["total_4_tailed_tris"]
+        + 4 * t["total_4_cycle"]
+        + t["total_4_path"]
+        + 5 * t["total_4_chordcycle"]
+        + 6 * t["total_4_clique"],
+        "n2": s["n2"]
+        == 3 * t["total_3_star"]
+        + t["total_4_tailed_tris"]
+        + 4 * t["total_4_cycle"]
+        + t["total_4_path"],
+        "n3": s["n3"] == t["total_4_chordcycle"] + 6 * t["total_4_clique"],
+        "n4": s["n4"] == 2 * t["total_4_tailed_tris"] + 4 * t["total_4_chordcycle"],
+        "n5": s["n5"] == t["total_4_path"] + 4 * t["total_4_cycle"],
+        "n6": s["n6"] == 3 * t["total_3_star"] + t["total_4_tailed_tris"],
+        "n7": s["n7"]
+        == 2 * t["total_4_2edge"]
+        + 6 * t["total_4_clique"]
+        + 4 * t["total_4_cycle"]
+        + 4 * t["total_4_chordcycle"]
+        + 2 * t["total_4_path"]
+        + 2 * t["total_4_tailed_tris"],
+        "n8": s["n8"] == t["total_4_1edge"] + 2 * t["total_4_2edge"],
+        "n9": s["n9"] == 2 * t["total_4_2star"] + 2 * t["total_4_path"],
+        "n10": s["n10"] == 3 * t["total_4_tri"] + t["total_4_tailed_tris"],
+    }
+    return checks

@@ -1,0 +1,71 @@
+"""k-core decomposition (coreness per vertex).
+
+The reference peels with a sequential bucket sort
+(graphlet_core.cpp:958-1018) — inherently serial.  The distributed
+equivalent here is the h-index fixpoint iteration (Lü-Chen-Ren-Zhang
+2016, "Vital nodes identification in complex networks"; also Montresor
+et al. 2013 distributed k-core): start c(v)=deg(v) and repeatedly set
+
+    c(v) ← H({c(u) : u ∈ N(v)})
+
+where H is the h-index (largest k such that ≥k neighbors have value
+≥k).  The sequence is non-increasing and converges exactly to the core
+number.  Each round is one shuffle; H is computed with a window (no
+Python): with neighbor values sorted desc and row-numbered,
+H = max(min(rank, value)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pgd_spark.graph import Graph
+
+
+def kcore(g: Graph, max_iter: int = 100) -> DataFrame:
+    """[v, core] — exact coreness. Also usable as the `kcore` edge-
+    ordering feature for parity with the reference orderings."""
+    edges = g.symmetric()
+    labels = g.degrees().select("v", F.col("degree").cast("long").alias("core"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_vals = (
+            labels.join(edges, "v")
+            .select(F.col("w").alias("v"), F.col("core").alias("nbr_core"))
+        )
+        w = Window.partitionBy("v").orderBy(F.col("nbr_core").desc())
+        h = (
+            nbr_vals.withColumn("rn", F.row_number().over(w))
+            .withColumn("hterm", F.least(F.col("rn").cast("long"), F.col("nbr_core")))
+            .groupBy("v")
+            .agg(F.max("hterm").alias("h"))
+        )
+        new_labels = (
+            labels.join(h, "v", "left")
+            .select("v", F.least("core", F.coalesce("h", F.lit(0))).alias("core"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("core", "old"), "v")
+            .filter(F.col("core") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def max_core(g: Graph) -> int:
+    return kcore(g).agg(F.max("core")).first()[0]
+
+
+def degeneracy_order(g: Graph) -> DataFrame:
+    """[v, core, order] — vertices ordered by (core, degree, id); a
+    deterministic stand-in for the reference's peel order
+    (kcore_order, graphlet_core.h:608-611) used only as an edge-
+    scheduling feature, never affecting results."""
+    deg = g.degrees()
+    kc = kcore(g)
+    w = Window.orderBy(F.col("core").asc(), F.col("degree").asc(), F.col("v").asc())
+    return kc.join(deg, "v").withColumn("order", F.row_number().over(w))

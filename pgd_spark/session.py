@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is the test harness; the same config keys are what we would
+set on a 1000-executor cluster (AQE on, skew-join handling on, Arrow
+transfers on).  Shuffle partitions default to the core count locally —
+on a real cluster AQE coalesces from a high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship pgd_spark to executors (programmatic --py-files).
+
+    Python workers unpickle pandas-UDF closures by module reference;
+    when the driver imported pgd_spark from a path the workers don't
+    share, the import fails.  Zipping the package once per session and
+    addPyFile-ing it makes the library self-contained, the same layout
+    a cluster submit uses.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), f"pgd_spark_ship_{os.getpid()}")
+    zip_path = out + ".zip"
+    if not os.path.exists(zip_path):
+        staging = out + "_stage"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.copytree(pkg_dir, os.path.join(staging, "pgd_spark"))
+        shutil.make_archive(out, "zip", staging)
+        shutil.rmtree(staging, ignore_errors=True)
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app_name: str = "pgd_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N-ish partitions; AQE coalesces small stages further.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+        shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("PGD_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark

@@ -1,0 +1,133 @@
+"""Transcript table: deterministic synthetic generator + edge derivation.
+
+Input shape (BASELINE input_hint): an Iceberg (here: parquet-backed,
+identical layout) table of multi-turn conversation / agent transcripts
+
+    (conv_id string, turn_idx int, role string, text string,
+     tool string, ts timestamp)
+
+Edge derivation (axes A+B):
+  A — turn adjacency: consecutive turns within a conversation link
+      their actors: {actor(turn i), actor(turn i+1)}.
+  B — tool invocation: a turn with a non-null tool links its actor to
+      the tool vertex.
+
+Vertices are participants ∪ tools; actor keys ("r", role) and tool
+keys ("t", tool) are assigned dense int64 ids deterministically
+(row_number over sorted kind+name).  The derived edges then pass
+through the same normalization as every reader: undirected,
+self-loop-free, deduplicated — matching the reference reader contract
+(graphlet_core.cpp:291-457, README.md:79-93).
+
+Everything is pure column math on spark.range — no RNG object, no
+Python UDFs — so the same (seed-free) tables reproduce byte-identically
+at any parallelism, and generation scales linearly with cores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pgd_spark.graph import Graph
+
+ZIPF_S = 1.2
+N_TOOLS = 50
+
+
+def _zipf_cdf(n: int, s: float) -> list[float]:
+    weights = [1.0 / (k**s) for k in range(1, n + 1)]
+    tot = sum(weights)
+    cdf, acc = [], 0.0
+    for w in weights:
+        acc += w / tot
+        cdf.append(acc)
+    return cdf
+
+
+def generate_transcripts(spark: SparkSession, n_conv: int) -> DataFrame:
+    """Deterministic synthetic transcripts (FIXTURES.md §1 recipe):
+    turns per conv = 5 + (i*2654435761 % 28); roles alternate
+    user/assistant with every 7th turn an agent; tool on turn_idx%3==1
+    drawn Zipf(s≈1.2) over 50 tools via a hash — hub-tool skew is the
+    point (north_rule skew handling must be exercised)."""
+    cdf = _zipf_cdf(N_TOOLS, ZIPF_S)
+    cdf_lit = F.array(*[F.lit(x) for x in cdf])
+    conv = spark.range(n_conv).select(
+        F.col("id").alias("i"),
+        F.format_string("c%08d", F.col("id")).alias("conv_id"),
+        ((F.col("id") * F.lit(2654435761)) % 28 + 5).alias("n_turns"),
+    )
+    turns = conv.select(
+        "i",
+        "conv_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+    role = (
+        F.when(F.col("turn_idx") % 7 == 6, F.format_string("agent%d", F.col("i") % 5))
+        .when(F.col("turn_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    # uniform-in-[0,1) hash for the Zipf draw
+    u = (F.abs(F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit("tool"))) % 1_000_000) / 1_000_000.0
+    tool_rank = F.size(F.filter(cdf_lit, lambda p: p < u))
+    out = turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat_ws(":", "conv_id", F.col("turn_idx"), role).alias("text"),
+        F.when(
+            F.col("turn_idx") % 3 == 1, F.format_string("tool%02d", tool_rank)
+        ).alias("tool"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=(F.col("i") * 60 + F.col("turn_idx")).cast("double"))
+        ).alias("ts"),
+    )
+    return out
+
+
+def vertex_map(transcripts: DataFrame) -> DataFrame:
+    """[kind, name, vid] — dense deterministic ids for participants
+    ('r', role) and tools ('t', tool)."""
+    roles = transcripts.select(F.lit("r").alias("kind"), F.col("role").alias("name"))
+    tools = transcripts.filter(F.col("tool").isNotNull()).select(
+        F.lit("t").alias("kind"), F.col("tool").alias("name")
+    )
+    verts = roles.unionAll(tools).distinct()
+    w = Window.orderBy("kind", "name")
+    return verts.withColumn("vid", F.row_number().over(w).cast("long") - 1)
+
+
+def edges_from_transcripts(
+    transcripts: DataFrame, vmap: DataFrame | None = None
+) -> tuple[Graph, DataFrame]:
+    """Axes A+B edge derivation → (normalized Graph, vertex map).
+
+    Pure DataFrame ops: one window (lead over (conv_id, turn_idx)) for
+    axis A, a filter for axis B, two small broadcast joins against the
+    vertex map, then the standard normalization.  The source table is
+    only read — the per-turn text invariant (stable (conv_id, turn_idx)
+    ordering) is untouched by construction.
+    """
+    vm = vmap if vmap is not None else vertex_map(transcripts)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool", F.lead("role").over(w).alias("next_role")
+    )
+    a = t.filter(F.col("next_role").isNotNull()).select(
+        F.lit("r").alias("k1"), F.col("role").alias("n1"),
+        F.lit("r").alias("k2"), F.col("next_role").alias("n2"),
+    )
+    b = t.filter(F.col("tool").isNotNull()).select(
+        F.lit("r").alias("k1"), F.col("role").alias("n1"),
+        F.lit("t").alias("k2"), F.col("tool").alias("n2"),
+    )
+    pairs = a.unionAll(b)
+    vm1 = vm.select(F.col("kind").alias("k1"), F.col("name").alias("n1"), F.col("vid").alias("src"))
+    vm2 = vm.select(F.col("kind").alias("k2"), F.col("name").alias("n2"), F.col("vid").alias("dst"))
+    edges = (
+        pairs.join(F.broadcast(vm1), ["k1", "n1"])
+        .join(F.broadcast(vm2), ["k2", "n2"])
+        .select("src", "dst")
+    )
+    return Graph.from_edges(edges), vm
