@@ -1,0 +1,231 @@
+"""Deduplication operators for corpus-scale training-data pipelines.
+
+Four families, all expressed Spark-first:
+
+* exact          — hash-groupBy on normalized text (one shuffle).
+* n-gram Jaccard — exact character-shingle similarity via inverted-
+                   index self-join (the correctness baseline).
+* MinHash + LSH  — shingle → k minhashes → banded bucket join; exact
+                   Jaccard verify on candidates only.  The scale path:
+                   candidate generation touches only colliding bands,
+                   never the full O(N²) pair space.
+* SimHash        — 64-bit signature from token hashes, computed fully
+                   JVM-side (64 codegen'd conditional sums), candidate
+                   pairs via 16-bit band equality, Hamming verify.
+
+All hashing uses xxhash64 with literal seeds — deterministic across
+runs/partitions, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))  # noqa: E731
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """[id, keep_id, is_dup] — groups exact duplicates (normalized
+    text) and elects the minimum id as keeper."""
+    keyed = df.select(F.col(id_col), F.md5(_NORM(F.col(text_col))).alias("k"))
+    keepers = keyed.groupBy("k").agg(F.min(id_col).alias("keep_id"))
+    return (
+        keyed.join(keepers, "k")
+        .select(
+            F.col(id_col),
+            F.col("keep_id"),
+            (F.col(id_col) != F.col("keep_id")).alias("is_dup"),
+        )
+    )
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """[id, shingle] distinct character n-grams of normalized text.
+    Generated JVM-side: sequence + transform + explode, no Python."""
+    norm = _NORM(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """[id_a < id_b, jaccard] — exact n-gram Jaccard over an inverted-
+    index self-join.  ``max_postings`` drops shingles occurring in more
+    than that many docs (stopword-shingle blowup guard at corpus scale;
+    None = exact)."""
+    sh = _shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    postings = sh
+    if max_postings is not None:
+        hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(F.col("c") > max_postings)
+        postings = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    a = postings.select(F.col("id").alias("id_a"), "shingle")
+    b = postings.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """[id, sig: array<long>] — k independent minhashes; hash i is
+    xxhash64(shingle, seed=i) (k aggregations in one shuffle)."""
+    sh = _shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """[id_a, id_b, jaccard] near-dup pairs: banded-LSH candidates,
+    then EXACT n-gram Jaccard verification of candidates only (no
+    false positives; recall is the standard 1-(1-s^r)^b curve)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("sig")[bi * rows + r] for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on the candidate set
+    sh = _shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("s2")), "id_b")
+        .filter(F.col("shingle") == F.col("s2"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """[id, simhash: long] — 64-bit SimHash over whitespace tokens,
+    entirely JVM-side: token → xxhash64, bit b contributes ±1, sign of
+    each bit-sum sets the signature bit."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(_NORM(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """[id_a, id_b, hamming] — SimHash near-dups: 4×16-bit band join
+    (any pair within Hamming ≤3 of 64 bits shares ≥1 exact 16-bit
+    quarter by pigeonhole), then exact Hamming verify."""
+    sig = simhash_signatures(df, id_col, text_col).cache()
+    quarters = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "simhash", "s.q", "s.qv")
+    cand = (
+        quarters.alias("x")
+        .join(quarters.alias("y"), ["q", "qv"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

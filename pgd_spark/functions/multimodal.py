@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched pandas functions over ``mapInPandas`` so each batch
+moves one Arrow buffer, never per-row Python objects.
+
+The actual codecs (PIL/libav/etc.) are NOT in this container, so the
+decode step is stubbed two ways:
+* ``use_real_codecs=True``  → NotImplementedError (clearly marked).
+* default                   → a deterministic fake decoder that derives
+  plausible metadata from the payload bytes, keeping every Spark-side
+  contract real and testable: schema, partitioning, Arrow batch shape,
+  UDF signature, explode semantics for frame sampling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+IMAGE_META_SCHEMA = "doc_id long, width int, height int, channels int, mean_luma double, format string"
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, width int, height int, mean_luma double"
+
+
+def attach_fake_payload(df: DataFrame, id_col: str = "doc_id", kind: str = "image") -> DataFrame:
+    """[.., payload: binary, media_kind] — deterministic synthetic
+    payload (sha256 stream of the id) standing in for real blobs."""
+    return df.withColumn(
+        "payload", F.sha2(F.concat(F.lit(kind), F.col(id_col).cast("string")), 256).cast("binary")
+    ).withColumn("media_kind", F.lit(kind))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float, str]:
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] * 8
+    height = 64 + h[1] * 8
+    channels = 3
+    mean_luma = h[2] / 255.0
+    fmt = ["jpeg", "png", "webp"][h[3] % 3]
+    return width, height, channels, mean_luma, fmt
+
+
+def decode_image_meta(
+    df: DataFrame, id_col: str = "doc_id", use_real_codecs: bool = False
+) -> DataFrame:
+    """binary payload → typed image metadata via mapInPandas."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codecs:
+            raise NotImplementedError(
+                "real image codecs (PIL/turbojpeg) are not available in this "
+                "environment; deploy with the codec wheel and flip use_real_codecs"
+            )
+        for pdf in batches:
+            metas = [_fake_decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(metas, columns=["width", "height", "channels", "mean_luma", "format"])
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(fn, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """video payload → sampled frame metadata rows (1→N explode shape)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_codecs:
+            raise NotImplementedError("video codecs not available; see decode_image_meta")
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                h = hashlib.sha256(bytes(payload)).digest()
+                n_frames = 1 + h[4] % max_frames
+                for i in range(n_frames):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            i * every_ms,
+                            64 + h[0] * 8,
+                            64 + h[1] * 8,
+                            h[(5 + i) % 32] / 255.0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ts_ms", "width", "height", "mean_luma"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id", dim: int = 16) -> DataFrame:
+    """binary payload → deterministic feature vector (array<float>) —
+    the plumbing for embedding-based near-dup over media columns."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                h = hashlib.sha256(bytes(p)).digest()
+                v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+                feats.append((v.astype(np.float64) / 2**32).astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "features": feats})
+
+    return df.select(id_col, "payload").mapInPandas(
+        fn, schema="doc_id long, features array<float>"
+    )

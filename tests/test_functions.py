@@ -1,0 +1,162 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing, skew helpers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgd_spark.functions.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from pgd_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+from pgd_spark.functions.textstats import fingerprint, langid, quality_score, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),         # near dup of 1
+        (4, "der schnelle braune fuchs springt und ist muede"),
+        (5, "completely different content about spark engines"),
+        (6, "THE QUICK  BROWN fox jumps over the lazy dog"),         # normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: (r["keep_id"], r["is_dup"]) for r in exact_dedup(docs).collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[6] == (1, True)
+    assert out[5] == (5, False)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()}
+    assert (1, 2) in pairs and (1, 6) in pairs and (2, 6) in pairs
+    assert (1, 3) in pairs  # near dup
+    assert not any(5 in p for p in pairs)
+
+
+def test_minhash_vs_exact(spark, docs):
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, threshold=0.8).collect()}
+    # verified candidates: no false positives; high-sim pairs recalled
+    assert mh <= exact
+    assert (1, 2) in mh and (1, 6) in mh
+
+
+def test_simhash(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_dedup(docs, max_hamming=6).collect()}
+    assert (1, 2) in pairs and (1, 6) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_token_count_and_quality(spark, docs):
+    tc = {r["doc_id"]: r["n_words"] for r in token_count(docs).collect()}
+    assert tc[1] == 9
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_langid(spark, docs):
+    out = {r["doc_id"]: r["lang_guess"] for r in langid(docs).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+
+
+def test_fingerprint_normalized_equal(spark, docs):
+    fp = {r["doc_id"]: r["fp_md5"] for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[6]
+    assert fp[1] != fp[3]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def _np_topk(vectors_rows, query_rows, k):
+    import numpy as np
+
+    ids = [r[0] for r in vectors_rows]
+    M = np.array([r[1] for r in vectors_rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for qid, q in query_rows:
+        qv = np.array(q, dtype=np.float64)
+        qv /= np.linalg.norm(qv)
+        sims = M @ qv
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:k]
+        out[qid] = [ids[i] for i in order]
+    return out
+
+
+def test_cosine_topk_exact(spark, vectors):
+    vrows = [(r["vec_id"], r["embedding"]) for r in vectors.collect()]
+    queries = spark.createDataFrame(
+        [(100, vrows[0][1]), (101, vrows[5][1])], "query_id long, embedding array<float>"
+    )
+    got = cosine_topk(vectors, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    want = _np_topk(vrows, [(100, vrows[0][1]), (101, vrows[5][1])], 5)
+    assert by_q == want
+    # self-similarity rank 1
+    assert by_q[100][0] == vrows[0][0]
+
+
+def test_lsh_topk_recall(spark, vectors):
+    vrows = [(r["vec_id"], r["embedding"]) for r in vectors.collect()]
+    queries = spark.createDataFrame([(100, vrows[0][1])], "query_id long, embedding array<float>")
+    got = [r["vec_id"] for r in lsh_cosine_topk(vectors, queries, k=3, bits=6, tables=8).collect()]
+    # the identical vector must collide in every table → rank 1 recalled
+    assert got and got[0] == vrows[0][0]
+
+
+def test_multimodal_plumbing(spark, docs):
+    from pgd_spark.functions.multimodal import (
+        attach_fake_payload,
+        decode_image_meta,
+        image_features,
+        sample_frames,
+    )
+
+    media = attach_fake_payload(docs)
+    meta = decode_image_meta(media).collect()
+    assert len(meta) == docs.count()
+    assert all(r["width"] >= 64 and r["format"] in ("jpeg", "png", "webp") for r in meta)
+    # determinism
+    meta2 = decode_image_meta(media).collect()
+    assert sorted(map(tuple, meta)) == sorted(map(tuple, meta2))
+    frames = sample_frames(media).collect()
+    assert len(frames) >= len(meta)
+    feats = image_features(media, dim=8).collect()
+    assert all(len(r["features"]) == 8 for r in feats)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        decode_image_meta(media, use_real_codecs=True).collect()
+
+
+def test_salted_join_equivalence(spark):
+    from pgd_spark.graph import Graph
+    from pgd_spark.plans.skew import salted_join, top_degree_vertices
+
+    # hub-heavy graph: star of 200 spokes + ring
+    edges = [(0, i) for i in range(1, 200)] + [(i, i + 1) for i in range(1, 199)]
+    g = Graph.from_edges(spark.createDataFrame(edges, "src long, dst long"))
+    big = g.symmetric().withColumnRenamed("v", "key").withColumnRenamed("w", "other")
+    small = g.degrees().withColumnRenamed("v", "key")
+    hot = top_degree_vertices(g, threshold=50).withColumnRenamed("v", "key")
+    plain = big.join(small, "key").select("key", "other", "degree")
+    salted = salted_join(big, small, "key", hot, salt=4).select("key", "other", "degree")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
