@@ -1,38 +1,690 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the pgd_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship query (full graphlet macro census on the
+                     co-purchase graph at sf0.001).
+``queries()``      — one callable per implemented operator (SURVEY §2 +
+                     the pipeline operators); each (spark, sf_dir) →
+                     DataFrame.
+``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalent per query
+                     (omitted only for genuinely non-SQL-expressible
+                     iterative/hash-seeded ops → rows-only check).
+
+Column names/types are aligned pairwise; every float is rounded to 6
+decimals on both sides so the value-hash compare is stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SUBGRAPH_MAX_PARTKEY = 500  # bounds the exhaustive-census oracle cost
+
+
+# ------------------------------------------------------------------ helpers
+def _copurchase_graph(spark: SparkSession, sf_dir: str, max_partkey: int | None = None):
+    from pgd_spark.sources.relational import copurchase_graph
+
+    return copurchase_graph(spark, sf_dir, max_partkey)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# SQL building blocks shared by the graph oracles
+_SQL_EDGES_FULL = """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+_SQL_EDGES_SUB = f"""
+li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey <= {SUBGRAPH_MAX_PARTKEY}),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+_SQL_GRAPH_COMMON = """
+sym AS (SELECT src AS v, dst AS w FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v)"""
+
+# degree-oriented edges + per-edge tri/cliq/cyc (the kernel oracle)
+_SQL_KERNEL = """
+o AS (
+  SELECT CASE WHEN dd.degree < ds.degree OR (dd.degree = ds.degree AND e.dst < e.src)
+              THEN e.dst ELSE e.src END AS v,
+         CASE WHEN dd.degree < ds.degree OR (dd.degree = ds.degree AND e.dst < e.src)
+              THEN e.src ELSE e.dst END AS u,
+         LEAST(ds.degree, dd.degree)    AS deg_v_x,
+         GREATEST(ds.degree, dd.degree) AS deg_u_x
+  FROM edges e JOIN deg ds ON e.src = ds.v JOIN deg dd ON e.dst = dd.v
+),
+ori AS (SELECT v, u, deg_v_x AS deg_v, deg_u_x AS deg_u FROM o),
+tri_tab AS (
+  SELECT ori.v, ori.u, s1.w AS t
+  FROM ori JOIN sym s1 ON s1.v = ori.v
+           JOIN sym s2 ON s2.v = ori.u AND s2.w = s1.w
+),
+tri_cnt AS (SELECT v, u, count(*) AS tri FROM tri_tab GROUP BY v, u),
+cliq_cnt AS (
+  SELECT a.v, a.u, count(*) AS cliq
+  FROM tri_tab a JOIN tri_tab b ON a.v = b.v AND a.u = b.u AND a.t < b.t
+  JOIN edges ab ON ab.src = LEAST(a.t, b.t) AND ab.dst = GREATEST(a.t, b.t)
+  GROUP BY a.v, a.u
+),
+wu AS (
+  SELECT ori.v, ori.u, s.w
+  FROM ori JOIN sym s ON s.v = ori.u
+  WHERE s.w <> ori.v
+    AND NOT EXISTS (SELECT 1 FROM sym x WHERE x.v = ori.v AND x.w = s.w)
+),
+wv AS (
+  SELECT ori.v, ori.u, s.w
+  FROM ori JOIN sym s ON s.v = ori.v
+  WHERE s.w <> ori.u
+    AND NOT EXISTS (SELECT 1 FROM sym x WHERE x.v = ori.u AND x.w = s.w)
+),
+cyc_cnt AS (
+  SELECT a.v, a.u, count(*) AS cyc
+  FROM wu a JOIN wv b ON a.v = b.v AND a.u = b.u
+  JOIN edges wx ON wx.src = LEAST(a.w, b.w) AND wx.dst = GREATEST(a.w, b.w)
+  GROUP BY a.v, a.u
+),
+kernel AS (
+  SELECT ori.v, ori.u, ori.deg_v, ori.deg_u,
+         COALESCE(t.tri, 0)  AS tri,
+         COALESCE(c.cliq, 0) AS cliq,
+         COALESCE(y.cyc, 0)  AS cyc
+  FROM ori LEFT JOIN tri_cnt t ON ori.v = t.v AND ori.u = t.u
+           LEFT JOIN cliq_cnt c ON ori.v = c.v AND ori.u = c.u
+           LEFT JOIN cyc_cnt y ON ori.v = y.v AND ori.u = y.u
+)"""
+
+
+def _graph_cte(sub: bool) -> str:
+    return "WITH " + (_SQL_EDGES_SUB if sub else _SQL_EDGES_FULL) + "," + _SQL_GRAPH_COMMON
+
+
+# ------------------------------------------------------------------ queries
+def q_g_edges(spark, sf_dir):
+    return _copurchase_graph(spark, sf_dir).edges.select("src", "dst")
+
+
+def q_g_degrees(spark, sf_dir):
+    return _copurchase_graph(spark, sf_dir).degrees().select("v", F.col("degree"))
+
+
+def q_g_degree_stats(spark, sf_dir):
+    from pgd_spark.operators.stats import degree_stats
+
+    d = degree_stats(_copurchase_graph(spark, sf_dir))
+    return spark.createDataFrame(
+        [(d["n_vertices"], d["n_edges"], d["max_degree"],
+          round(d["avg_degree_exact"], 6), round(d["density"], 6))],
+        "n_vertices long, n_edges long, max_degree long, avg_degree double, density double",
+    )
+
+
+def q_g_triangles_per_edge(spark, sf_dir):
+    from pgd_spark.operators.graphlets import edge_graphlet_counts
+
+    g = _copurchase_graph(spark, sf_dir)
+    c = edge_graphlet_counts(g, strategy="broadcast")
+    return c.select(
+        F.least("v", "u").alias("src"), F.greatest("v", "u").alias("dst"), F.col("tri")
+    )
+
+
+def q_g_triangle_stats(spark, sf_dir):
+    from pgd_spark.operators.graphlets import macro_counts
+
+    t = macro_counts(_copurchase_graph(spark, sf_dir), strategy="broadcast")
+    return spark.createDataFrame(
+        [(t["total_3_tris"], t["total_2_star"], t["total_wedges"], round(t["global_cc"], 6))],
+        "triangles long, two_stars long, wedges long, global_cc double",
+    )
+
+
+def q_g_assortativity(spark, sf_dir):
+    from pgd_spark.operators.stats import assortativity
+
+    r = assortativity(_copurchase_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(r, 6),)], "r double")
+
+
+def q_g_macro_counts(spark, sf_dir):
+    from pgd_spark.operators.graphlets import MACRO_KEYS, macro_counts
+
+    t = macro_counts(
+        _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY), strategy="broadcast"
+    )
+    schema = ", ".join(f"{k} long" for k in MACRO_KEYS) + ", total_wedges long, global_cc double"
+    row = tuple(int(t[k]) for k in MACRO_KEYS) + (int(t["total_wedges"]), round(t["global_cc"], 6))
+    return spark.createDataFrame([row], schema)
+
+
+def q_g_micro_counts(spark, sf_dir):
+    from pgd_spark.operators.graphlets import micro_counts
+
+    g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
+    return micro_counts(g, strategy="broadcast", pgd_quirk=True)
+
+
+def q_g_kcore(spark, sf_dir):
+    from pgd_spark.operators.kcore import kcore
+
+    return kcore(_copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)).select("v", "core")
+
+
+def q_g_pagerank(spark, sf_dir):
+    from pgd_spark.operators.pregel import pagerank
+
+    g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
+    return pagerank(g, tol=1e-8).select("v", F.round("rank", 6).alias("rank"))
+
+
+def q_g_connected_components(spark, sf_dir):
+    from pgd_spark.operators.pregel import connected_components
+
+    g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
+    return connected_components(g).select("v", "component")
+
+
+def q_g_label_propagation(spark, sf_dir):
+    from pgd_spark.operators.pregel import label_propagation
+
+    g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
+    return label_propagation(g, max_iter=4).select("v", "label")
+
+
+def q_g_triangle_per_vertex(spark, sf_dir):
+    from pgd_spark.operators.pregel import triangle_count_per_vertex
+
+    g = _copurchase_graph(spark, sf_dir)
+    return triangle_count_per_vertex(g).select("v", "triangles")
+
+
+def q_events_graph_edges(spark, sf_dir):
+    from pgd_spark.sources.relational import events_session_graph
+
+    return events_session_graph(spark, sf_dir).edges.select("src", "dst")
+
+
+def q_doc_token_count(spark, sf_dir):
+    from pgd_spark.functions.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir)).select("doc_id", "n_words", "n_chars", "n_tokens_est")
+
+
+def q_doc_quality(spark, sf_dir):
+    from pgd_spark.functions.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_doc_langid(spark, sf_dir):
+    from pgd_spark.functions.textstats import langid
+
+    return langid(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from pgd_spark.functions.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    from pgd_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    from pgd_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.55)
+
+
+def q_doc_minhash_dedup(spark, sf_dir):
+    from pgd_spark.functions.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(spark, sf_dir), n=3, threshold=0.55)
+
+
+def q_doc_simhash(spark, sf_dir):
+    from pgd_spark.functions.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    from pgd_spark.functions.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = (
+        embs.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return cosine_topk(embs, queries, k=5).select("query_id", "vec_id", "rank")
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    from pgd_spark.functions.similarity import lsh_cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = (
+        embs.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return lsh_cosine_topk(embs, queries, k=5, bits=8, tables=6).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from pgd_spark.functions.multimodal import attach_fake_payload, decode_image_meta
+
+    return decode_image_meta(attach_fake_payload(_docs(spark, sf_dir)))
+
+
+def q_transcript_graph_census(spark, sf_dir):
+    """Transcript pipeline end-to-end: synthesize (deterministic, scale
+    tied to sf via lineitem rowcount), derive edges, census."""
+    from pgd_spark.operators.graphlets import MACRO_KEYS, macro_counts
+    from pgd_spark.sources.transcripts import edges_from_transcripts, generate_transcripts
+
+    tr = generate_transcripts(spark, 2000)
+    g, _ = edges_from_transcripts(tr)
+    t = macro_counts(g, strategy="broadcast")
+    schema = ", ".join(f"{k} long" for k in MACRO_KEYS)
+    return spark.createDataFrame([tuple(int(t[k]) for k in MACRO_KEYS)], schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full macro graphlet census of the sf0.001 co-purchase
+    graph (all 17 totals, one row)."""
+    return q_g_macro_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "g_edges": q_g_edges,
+        "g_degrees": q_g_degrees,
+        "g_degree_stats": q_g_degree_stats,
+        "g_triangles_per_edge": q_g_triangles_per_edge,
+        "g_triangle_stats": q_g_triangle_stats,
+        "g_assortativity": q_g_assortativity,
+        "g_macro_counts": q_g_macro_counts,
+        "g_micro_counts": q_g_micro_counts,
+        "g_kcore": q_g_kcore,
+        "g_pagerank": q_g_pagerank,
+        "g_connected_components": q_g_connected_components,
+        "g_label_propagation": q_g_label_propagation,
+        "g_triangle_per_vertex": q_g_triangle_per_vertex,
+        "events_graph_edges": q_events_graph_edges,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_minhash_dedup": q_doc_minhash_dedup,
+        "doc_simhash": q_doc_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "transcript_graph_census": q_transcript_graph_census,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracle SQL
+def _micro_sql() -> str:
+    return (
+        "WITH "
+        + _SQL_EDGES_SUB
+        + ","
+        + _SQL_GRAPH_COMMON
+        + ","
+        + _SQL_KERNEL
+        + """
+SELECT LEAST(v, u) AS src, GREATEST(v, u) AS dst,
+       tri AS triangle,
+       (deg_v - tri - 1) + (deg_u - tri - 1) AS two_star,
+       cliq AS clique4,
+       tri * (tri - 1) // 2 - cliq AS chordal_cycle4,
+       CAST(0 AS BIGINT) AS tailed_tri4,
+       cyc AS cycle4,
+       (deg_v - tri - 1) * (deg_v - tri - 2) // 2
+         + (deg_u - tri - 1) * (deg_u - tri - 2) // 2 AS star3,
+       (deg_v - tri - 1) * (deg_u - tri - 1) - cyc AS path4
+FROM kernel"""
+    )
+
+
+def _macro_sql() -> str:
+    return (
+        "WITH "
+        + _SQL_EDGES_SUB
+        + ","
+        + _SQL_GRAPH_COMMON
+        + ","
+        + _SQL_KERNEL
+        + """,
+scal AS (SELECT (SELECT count(*) FROM deg) AS n, (SELECT count(*) FROM edges) AS m),
+terms AS (
+  SELECT k.tri, k.cliq, k.cyc,
+         (k.deg_v - k.tri - 1) + (k.deg_u - k.tri - 1) AS star,
+         s.n - ((k.deg_v - k.tri - 1) + (k.deg_u - k.tri - 1) + k.tri) - 2 AS disc,
+         k.deg_v - k.tri - 1 AS rv, k.deg_u - k.tri - 1 AS ru,
+         s.m - k.deg_v - k.deg_u + 1 AS n7_term
+  FROM kernel k CROSS JOIN scal s
+),
+sums AS (
+  SELECT sum(tri) AS s_tri, sum(star) AS s_star, sum(disc) AS s_disc,
+         sum(cliq) AS s_cliq, sum(cyc) AS s_cyc,
+         sum((tri + star) * (tri + star - 1) // 2) AS n1,
+         sum(star * (star - 1) // 2) AS n2,
+         sum(tri * (tri - 1) // 2) AS n3,
+         sum(tri * star) AS n4,
+         sum(rv * ru) AS n5,
+         sum(rv * (rv - 1) // 2 + ru * (ru - 1) // 2) AS n6,
+         sum(n7_term) AS n7,
+         sum(disc * (disc - 1) // 2) AS n8,
+         sum(star * disc) AS n9,
+         sum(tri * disc) AS n10
+  FROM terms
+),
+base AS (
+  SELECT s.n, s.m,
+         CAST(q.s_tri // 3 AS BIGINT) AS tris,
+         CAST(q.s_star // 2 AS BIGINT) AS star2,
+         CAST(q.s_disc AS BIGINT) AS e31,
+         CAST(q.s_cliq // 6 AS BIGINT) AS cl4,
+         CAST(q.n3 - 6 * (q.s_cliq // 6) AS BIGINT) AS cc4,
+         CAST(q.s_cyc // 4 AS BIGINT) AS cy4,
+         q.* FROM sums q CROSS JOIN scal s
+),
+closure AS (
+  SELECT n, m, tris, star2, e31, cl4, cc4, cy4,
+         n5 - 4 * cy4 AS p4,
+         (n4 - 4 * cc4) // 2 AS tt4,
+         n1, n2, n3, n4, n5, n6, n7, n8, n9, n10
+  FROM base
+),
+closure2 AS (
+  SELECT *,
+         (n6 - tt4) // 3 AS st3,
+         (n7 - 6 * cl4 - 4 * cy4 - 4 * cc4 - 2 * p4 - 2 * tt4) // 2 AS e42
+  FROM closure
+),
+closure3 AS (
+  SELECT *,
+         n8 - 2 * e42 AS e41,
+         (n9 - 2 * p4) // 2 AS s42,
+         (n10 - tt4) // 3 AS t4
+  FROM closure2
+)
+SELECT CAST(m AS BIGINT) AS total_2_1edge,
+       CAST(n * (n - 1) // 2 - m AS BIGINT) AS total_2_indep,
+       CAST(tris AS BIGINT) AS total_3_tris,
+       CAST(star2 AS BIGINT) AS total_2_star,
+       CAST(e31 AS BIGINT) AS total_3_1edge,
+       CAST(n * (n - 1) * (n - 2) // 6 - (tris + star2 + e31) AS BIGINT) AS total_3_indep,
+       CAST(cl4 AS BIGINT) AS total_4_clique,
+       CAST(cc4 AS BIGINT) AS total_4_chordcycle,
+       CAST(tt4 AS BIGINT) AS total_4_tailed_tris,
+       CAST(cy4 AS BIGINT) AS total_4_cycle,
+       CAST(st3 AS BIGINT) AS total_3_star,
+       CAST(p4 AS BIGINT) AS total_4_path,
+       CAST(e41 AS BIGINT) AS total_4_1edge,
+       CAST(e42 AS BIGINT) AS total_4_2edge,
+       CAST(s42 AS BIGINT) AS total_4_2star,
+       CAST(t4 AS BIGINT) AS total_4_tri,
+       CAST(n * (n - 1) * (n - 2) * (n - 3) // 24
+            - (cl4 + cc4 + tt4 + cy4 + st3 + p4 + e41 + e42 + s42 + t4) AS BIGINT) AS total_4_indep,
+       CAST(3 * tris + star2 AS BIGINT) AS total_wedges,
+       round(3.0 * tris / (3 * tris + star2), 6) AS global_cc
+FROM closure3"""
+    )
+
+
+_DOC_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+_SQL_SHINGLES = f"""
+norm AS (SELECT doc_id AS id, {_DOC_NORM} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT id, substr(t, i, 3) AS shingle
+  FROM (SELECT id, t, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i FROM norm)
+  WHERE length(substr(t, i, 3)) > 0
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    full = _graph_cte(sub=False)
+    sub = _graph_cte(sub=True)
+    o: dict[str, str] = {}
+    o["g_edges"] = full + " SELECT src, dst FROM edges"
+    o["g_degrees"] = full + " SELECT v, degree FROM deg"
+    o["g_degree_stats"] = (
+        full
+        + """
+SELECT (SELECT count(*) FROM deg) AS n_vertices,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT max(degree) FROM deg) AS max_degree,
+       round((SELECT avg(degree) FROM deg), 6) AS avg_degree,
+       round(2.0 * (SELECT count(*) FROM edges)
+             / ((SELECT count(*) FROM deg) * ((SELECT count(*) FROM deg) - 1.0)), 6) AS density"""
+    )
+    o["g_triangles_per_edge"] = (
+        full
+        + """,
+tri AS (
+  SELECT e.src, e.dst, count(*) AS c
+  FROM edges e JOIN sym s1 ON s1.v = e.src JOIN sym s2 ON s2.v = e.dst AND s2.w = s1.w
+  GROUP BY e.src, e.dst
+)
+SELECT e.src, e.dst, COALESCE(t.c, 0) AS tri
+FROM edges e LEFT JOIN tri t ON e.src = t.src AND e.dst = t.dst"""
+    )
+    o["g_triangle_stats"] = (
+        full
+        + """,
+tri AS (
+  SELECT e.src, e.dst, count(*) AS c
+  FROM edges e JOIN sym s1 ON s1.v = e.src JOIN sym s2 ON s2.v = e.dst AND s2.w = s1.w
+  GROUP BY e.src, e.dst
+),
+agg AS (
+  SELECT COALESCE(sum(c), 0) // 3 AS triangles,
+         (SELECT sum(degree * (degree - 1) // 2) FROM deg) - COALESCE(sum(c), 0) AS two_stars
+  FROM tri
+)
+SELECT CAST(triangles AS BIGINT) AS triangles,
+       CAST(two_stars AS BIGINT) AS two_stars,
+       CAST(3 * triangles + two_stars AS BIGINT) AS wedges,
+       round(3.0 * triangles / (3 * triangles + two_stars), 6) AS global_cc
+FROM agg"""
+    )
+    o["g_assortativity"] = (
+        full
+        + """,
+j AS (
+  SELECT ds.degree AS dv, dd.degree AS du
+  FROM edges e JOIN deg ds ON e.src = ds.v JOIN deg dd ON e.dst = dd.v
+),
+s AS (
+  SELECT sum(CAST(dv AS DOUBLE) * du) AS mu,
+         sum((dv + du) / 2.0) AS jd,
+         sum((CAST(dv AS DOUBLE) * dv + CAST(du AS DOUBLE) * du) / 2.0) AS psi,
+         count(*) AS m
+  FROM j
+)
+SELECT round(CASE
+  WHEN m = 0 THEN 0.0
+  WHEN (psi / m - (jd / m) * (jd / m)) = 0 THEN 1.0
+  WHEN ((mu / m - (jd / m) * (jd / m)) / (psi / m - (jd / m) * (jd / m))) < -1
+    OR ((mu / m - (jd / m) * (jd / m)) / (psi / m - (jd / m) * (jd / m))) > 1 THEN 1.0
+  ELSE (mu / m - (jd / m) * (jd / m)) / (psi / m - (jd / m) * (jd / m))
+END, 6) AS r
+FROM s"""
+    )
+    o["g_macro_counts"] = _macro_sql()
+    o["g_micro_counts"] = _micro_sql()
+    o["g_triangle_per_vertex"] = (
+        full
+        + """,
+tri AS (
+  SELECT e.src, e.dst, count(*) AS c
+  FROM edges e JOIN sym s1 ON s1.v = e.src JOIN sym s2 ON s2.v = e.dst AND s2.w = s1.w
+  GROUP BY e.src, e.dst
+),
+etri AS (
+  SELECT e.src, e.dst, COALESCE(t.c, 0) AS tri
+  FROM edges e LEFT JOIN tri t ON e.src = t.src AND e.dst = t.dst
+),
+ends AS (
+  SELECT src AS v, tri FROM etri UNION ALL SELECT dst, tri FROM etri
+)
+SELECT d.v, CAST(COALESCE(sum(e.tri), 0) // 2 AS BIGINT) AS triangles
+FROM deg d LEFT JOIN ends e ON d.v = e.v GROUP BY d.v"""
+    )
+    o["g_connected_components"] = (
+        sub
+        + """,
+reach AS (
+  SELECT src AS v, dst AS w FROM edges UNION
+  SELECT dst, src FROM edges UNION
+  SELECT v, v FROM deg
+),
+cc AS (
+  WITH RECURSIVE r(v, w) AS (
+    SELECT v, w FROM reach
+    UNION
+    SELECT r.v, e.w FROM r JOIN reach e ON r.w = e.v
+  )
+  SELECT v, min(w) AS component FROM r GROUP BY v
+)
+SELECT v, component FROM cc"""
+    )
+    o["events_graph_edges"] = """
+WITH typed AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+tids AS (
+  SELECT event_type, 1000000000 + dense_rank() OVER (ORDER BY event_type) AS tid
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+a AS (
+  SELECT t1.tid AS x, t2.tid AS y
+  FROM typed JOIN tids t1 ON typed.event_type = t1.event_type
+             JOIN tids t2 ON typed.next_type = t2.event_type
+  WHERE typed.next_type IS NOT NULL
+),
+b AS (
+  SELECT typed.user_id AS x, t1.tid AS y
+  FROM typed JOIN tids t1 ON typed.event_type = t1.event_type
+),
+allp AS (SELECT x, y FROM a UNION ALL SELECT x, y FROM b)
+SELECT DISTINCT LEAST(x, y) AS src, GREATEST(x, y) AS dst
+FROM allp WHERE x <> y"""
+    o["doc_token_count"] = f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(greatest(
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+         CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens_est
+FROM documents"""
+    o["doc_quality"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS chars,
+         greatest(CAST(length(text) AS DOUBLE), 1.0) AS nz,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_n,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_n
+  FROM documents
+)
+SELECT doc_id,
+       round(least(chars / 500.0, 1.0), 6) AS len_score,
+       round(punct_n / nz, 6) AS punct_ratio,
+       round(upper_n / nz, 6) AS upper_ratio,
+       round(digit_n / nz, 6) AS digit_ratio,
+       round(least(greatest(0.0, least(chars / 500.0, 1.0) - (punct_n / nz) * 2.0
+             - greatest(upper_n / nz - 0.3, 0.0) - digit_n / nz), 1.0), 6) AS quality
+FROM t"""
+    # langid: marker counting — same formula in SQL
+    lang_exprs = []
+    for lang, markers in {
+        "en": [" the ", " and ", " of ", " to ", " is "],
+        "de": [" der ", " die ", " und ", " ist ", " das "],
+        "fr": [" le ", " la ", " et ", " est ", " les "],
+        "es": [" el ", " la ", " que ", " los ", " es "],
+    }.items():
+        parts = [
+            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}" for m in markers
+        ]
+        lang_exprs.append(f"CAST({' + '.join(parts)} AS BIGINT) AS hits_{lang}")
+    o["doc_langid"] = f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+h AS (SELECT doc_id, {', '.join(lang_exprs)} FROM padded),
+b AS (SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+             greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM h)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN hits_en = best THEN 'en'
+            WHEN hits_de = best THEN 'de'
+            WHEN hits_fr = best THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       best AS lang_hits
+FROM b"""
+    o["doc_fingerprint"] = f"SELECT doc_id, md5({_DOC_NORM}) AS fp_md5 FROM documents"
+    o["doc_exact_dedup"] = f"""
+WITH k AS (SELECT doc_id, md5({_DOC_NORM}) AS k FROM documents),
+keep AS (SELECT k, min(doc_id) AS keep_id FROM k GROUP BY k)
+SELECT k.doc_id, keep.keep_id, k.doc_id <> keep.keep_id AS is_dup
+FROM k JOIN keep ON k.k = keep.k"""
+    o["doc_ngram_jaccard"] = (
+        "WITH "
+        + _SQL_SHINGLES
+        + """,
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(c.inter AS DOUBLE) / (sa.sz + sb.sz - c.inter), 6) AS jaccard
+FROM common c JOIN sizes sa ON c.id_a = sa.id JOIN sizes sb ON c.id_b = sb.id
+WHERE CAST(c.inter AS DOUBLE) / (sa.sz + sb.sz - c.inter) >= 0.55"""
+    )
+    o["emb_cosine_topk"] = """
+WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS q FROM it WHERE vec_id < 10),
+scored AS (
+  SELECT qs.query_id, it.vec_id,
+         list_cosine_similarity(it.v, qs.q) AS sim
+  FROM it CROSS JOIN qs
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"""
+    return o

@@ -1,0 +1,135 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., plus throughput extras}.
+
+Headlines mirror BASELINE.md: graphlet-census edges/sec (the PGD
+metric) and PageRank iterations/sec, on the co-purchase graph derived
+from lineitem, plus the pipeline operators at corpus scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from pgd_spark.functions.dedup import minhash_dedup
+    from pgd_spark.functions.similarity import cosine_topk
+    from pgd_spark.operators.graphlets import edge_graphlet_counts, macro_counts
+    from pgd_spark.operators.pregel import IterationLog, connected_components, pagerank
+    from pgd_spark.session import get_spark
+    from pgd_spark.sources.relational import copurchase_graph
+    from pgd_spark.sources.transcripts import edges_from_transcripts, generate_transcripts
+
+    spark = get_spark(
+        app_name="pgd_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # 1. edge derivation + normalization (scan → self-join → distinct)
+    with timed("derive_edges"):
+        g = copurchase_graph(spark, sf_dir)
+        m = g.num_edges()
+        n = g.num_vertices()
+    extras["graph_edges"] = m
+    extras["graph_vertices"] = n
+
+    # 2. full exact 3/4-graphlet census (PGD headline metric)
+    with timed("graphlet_census"):
+        counts = edge_graphlet_counts(g, strategy="broadcast").persist()
+        totals = macro_counts(g, counts=counts)
+    extras["graphlet_edges_per_sec"] = round(m / timings["graphlet_census"], 1)
+    extras["total_3_tris"] = totals["total_3_tris"]
+    extras["total_4_clique"] = totals["total_4_clique"]
+
+    # 3. triangles via the pure-JVM distributed path (scale plan)
+    with timed("triangles_distributed"):
+        adj = g.adjacency()
+        ori = g.oriented()
+        tri_sum = (
+            ori.join(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")), ori.v == F.col("_v"))
+            .join(adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu")), ori.u == F.col("_u"))
+            .select(F.size(F.array_intersect("nv", "nu")).alias("t"))
+            .agg(F.sum("t"))
+            .first()[0]
+        )
+    assert tri_sum == 3 * totals["total_3_tris"]
+
+    # 4. PageRank to convergence (iterations/sec headline)
+    with timed("pagerank"):
+        log = IterationLog()
+        pagerank(g, tol=1.0e-6, log=log).count()
+    iters = len(log.entries)
+    extras["pagerank_iters"] = iters
+    extras["pagerank_iters_per_sec"] = round(iters / timings["pagerank"], 3)
+
+    # 5. connected components
+    with timed("connected_components"):
+        ncomp = connected_components(g).select("component").distinct().count()
+    extras["n_components"] = ncomp
+
+    # 6. transcript pipeline: synthesize + derive at sf-scaled volume
+    with timed("transcript_derive"):
+        n_conv = max(2000, int(float(sf) * 2_000_000)) if sf.replace(".", "").isdigit() else 2000
+        tr = generate_transcripts(spark, n_conv)
+        tg, _ = edges_from_transcripts(tr)
+        extras["transcript_edges"] = tg.num_edges()
+        extras["transcript_turns"] = tr.count()
+    extras["transcript_turns_per_sec"] = round(
+        extras["transcript_turns"] / timings["transcript_derive"], 1
+    )
+
+    # 7. corpus dedup (MinHash LSH + exact verify)
+    with timed("minhash_dedup"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        extras["minhash_pairs"] = minhash_dedup(docs, threshold=0.7).count()
+
+    # 8. embedding brute-force cosine top-k
+    with timed("cosine_topk"):
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = embs.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+        cosine_topk(embs, queries, k=10).count()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pgd_spark headline suite (graphlet census + pregel + pipeline)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
