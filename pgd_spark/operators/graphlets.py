@@ -41,24 +41,29 @@ def edge_graphlet_counts(
     g: Graph,
     strategy: str = "auto",
     broadcast_max_edges: int = 5_000_000,
+    edge_predicate=None,
 ) -> DataFrame:
     """Per-edge raw kernel counts [v,u,deg_v,deg_u,tri,cliq,cyc].
 
     ``auto`` picks broadcast when the graph is small enough to ship to
     every executor (the common case for anything that fits PGD itself),
     else the fully distributed Catalyst plan.
+
+    ``edge_predicate`` (Column over v/u/deg_v/deg_u) restricts which
+    edges get kernel passes — counts stay relative to the FULL graph
+    (used by the edge-sampled approximate census).
     """
     if strategy == "auto":
         strategy = "broadcast" if g.num_edges() <= broadcast_max_edges else "distributed"
     if strategy == "broadcast":
-        return _edge_counts_broadcast(g)
+        return _edge_counts_broadcast(g, edge_predicate)
     if strategy == "distributed":
-        return _edge_counts_distributed(g)
+        return _edge_counts_distributed(g, edge_predicate)
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
 # ---------------------------------------------------------------- broadcast
-def _edge_counts_broadcast(g: Graph) -> DataFrame:
+def _edge_counts_broadcast(g: Graph, edge_predicate=None) -> DataFrame:
     import numpy as np
 
     from pgd_spark.operators.kernels import build_csr, make_broadcast_kernel
@@ -69,6 +74,8 @@ def _edge_counts_broadcast(g: Graph) -> DataFrame:
     csr = build_csr(src, dst)
     bc = g.spark.sparkContext.broadcast(csr)
     ori = g.oriented()
+    if edge_predicate is not None:
+        ori = ori.filter(edge_predicate)
     out = ori.mapInPandas(
         make_broadcast_kernel(bc),
         schema="v long, u long, deg_v long, deg_u long, tri long, cliq long, cyc long",
@@ -77,9 +84,11 @@ def _edge_counts_broadcast(g: Graph) -> DataFrame:
 
 
 # -------------------------------------------------------------- distributed
-def _edge_counts_distributed(g: Graph) -> DataFrame:
+def _edge_counts_distributed(g: Graph, edge_predicate=None) -> DataFrame:
     adj = g.adjacency()
     ori = g.oriented()
+    if edge_predicate is not None:
+        ori = ori.filter(edge_predicate)
 
     base = (
         ori.join(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")), ori.v == F.col("_v"))
