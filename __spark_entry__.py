@@ -213,6 +213,31 @@ def q_g_triangle_per_vertex(spark, sf_dir):
     return triangle_count_per_vertex(g).select("v", "triangles")
 
 
+def q_g_vertex_micro(spark, sf_dir):
+    from pgd_spark.operators.vertex_micro import vertex_micro_counts
+
+    g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
+    return vertex_micro_counts(g, strategy="broadcast")
+
+
+def q_g_edge_ordering(spark, sf_dir):
+    from pgd_spark.operators.ordering import edge_ordering
+
+    g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
+    return edge_ordering(g, "degree").select("src", "dst", "order_value")
+
+
+def q_g_approx_census(spark, sf_dir):
+    from pgd_spark.operators.approximate import approximate_macro_counts
+
+    g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
+    t = approximate_macro_counts(g, fraction=0.5, seed=7, strategy="broadcast")
+    return spark.createDataFrame(
+        [(t["total_3_tris"], t["total_4_clique"], t["total_2_1edge"])],
+        "total_3_tris long, total_4_clique long, total_2_1edge long",
+    )
+
+
 def q_events_graph_edges(spark, sf_dir):
     from pgd_spark.sources.relational import events_session_graph
 
@@ -331,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_connected_components": q_g_connected_components,
         "g_label_propagation": q_g_label_propagation,
         "g_triangle_per_vertex": q_g_triangle_per_vertex,
+        "g_vertex_micro": q_g_vertex_micro,
+        "g_edge_ordering": q_g_edge_ordering,
+        "g_approx_census": q_g_approx_census,
         "events_graph_edges": q_events_graph_edges,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -541,6 +569,51 @@ FROM s"""
     )
     o["g_macro_counts"] = _macro_sql()
     o["g_micro_counts"] = _micro_sql()
+    o["g_vertex_micro"] = (
+        "WITH "
+        + _SQL_EDGES_SUB
+        + ","
+        + _SQL_GRAPH_COMMON
+        + ","
+        + _SQL_KERNEL
+        + """,
+pere AS (
+  SELECT v, u, tri, cliq, cyc, deg_v, deg_u,
+         tri * (tri - 1) // 2 - cliq AS chordal,
+         (deg_v - tri - 1) * (deg_u - tri - 1) - cyc AS path4,
+         tri * (tri - 1) // 2 AS tri_pairs
+  FROM kernel
+),
+ends AS (
+  SELECT v AS x, tri, cliq, cyc, chordal, path4, tri_pairs, deg_u - 1 - tri AS leaf FROM pere
+  UNION ALL
+  SELECT u, tri, cliq, cyc, chordal, path4, tri_pairs, deg_v - 1 - tri FROM pere
+),
+vagg AS (
+  SELECT x AS v,
+         CAST(sum(tri) // 2 AS BIGINT) AS tri_cont,
+         CAST(sum(cliq) // 3 AS BIGINT) AS clique4_cont,
+         CAST(sum(cyc) // 2 AS BIGINT) AS cycle4_cont,
+         CAST(sum(chordal) AS BIGINT) AS chordal_chord,
+         CAST(sum(path4) AS BIGINT) AS path4_mid_end,
+         CAST(sum(tri_pairs) AS BIGINT) AS tp,
+         CAST(sum(leaf) AS BIGINT) AS star2_leaf
+  FROM ends GROUP BY x
+)
+SELECT d.v, a.tri_cont, a.clique4_cont, a.cycle4_cont,
+       CAST(d.degree * (d.degree - 1) // 2 - a.tri_cont AS BIGINT) AS star2_center,
+       a.star2_leaf,
+       CAST(d.degree * (d.degree - 1) * (d.degree - 2) // 6
+            - a.tri_cont * (d.degree - 2) + a.tp - a.clique4_cont AS BIGINT) AS star3_center,
+       a.chordal_chord, a.path4_mid_end
+FROM deg d JOIN vagg a ON d.v = a.v"""
+    )
+    o["g_edge_ordering"] = (
+        sub
+        + """
+SELECT e.src, e.dst, CAST(ds.degree + dd.degree AS DOUBLE) AS order_value
+FROM edges e JOIN deg ds ON e.src = ds.v JOIN deg dd ON e.dst = dd.v"""
+    )
     o["g_triangle_per_vertex"] = (
         full
         + """,
