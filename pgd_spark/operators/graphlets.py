@@ -76,6 +76,12 @@ def _edge_counts_broadcast(g: Graph, edge_predicate=None) -> DataFrame:
     ori = g.oriented()
     if edge_predicate is not None:
         ori = ori.filter(edge_predicate)
+    # AQE coalesces the (small) oriented-edge output down to one
+    # partition, which would serialize the kernel — spread the edges
+    # across all cores; round-robin keeps the per-task work uniform
+    # regardless of hub skew.
+    par = g.spark.sparkContext.defaultParallelism
+    ori = ori.repartition(par)
     out = ori.mapInPandas(
         make_broadcast_kernel(bc),
         schema="v long, u long, deg_v long, deg_u long, tri long, cliq long, cyc long",
