@@ -143,13 +143,13 @@ def minhash_dedup(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set
+    # exact verify on the candidate set: equi-join on (id, shingle)
+    # both hops so the plan never forms per-pair shingle cross products
     sh = _shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("s2")), "id_b")
-        .filter(F.col("shingle") == F.col("s2"))
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -74,6 +74,7 @@ def pagerank(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     log: IterationLog | None = None,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Power-iteration PageRank on the undirected graph (each edge acts
     in both directions).  Matches networkx.pagerank semantics: start
@@ -111,13 +112,26 @@ def pagerank(
             "v",
             (F.lit(base / n) + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
         )
-        new_ranks = _cut_lineage(new_ranks, checkpoint_dir, "pagerank", it, log)
-        err = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "v")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("e"))
-            .first()["e"]
+        # lineage cut: every iteration when resumable (durable state is
+        # the point), else every checkpoint_interval iterations — a
+        # bounded-depth plan is fine and saves one materialization/job
+        last = it == max_iter - 1
+        if checkpoint_dir or it % max(checkpoint_interval, 1) == 0 or last or tol > 0:
+            new_ranks = _cut_lineage(new_ranks, checkpoint_dir, "pagerank", it, log)
+        if tol > 0:
+            err = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "v")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("e"))
+                .first()["e"]
+            )
+        else:
+            err = float("inf")  # fixed-iteration mode: no convergence job
+        log.add(
+            algo="pagerank",
+            iter=it,
+            l1_delta=(float(err) if err != float("inf") else None),
+            seconds=time.time() - t0,
         )
-        log.add(algo="pagerank", iter=it, l1_delta=float(err), seconds=time.time() - t0)
         ranks = new_ranks
         if err < n * tol:
             break
