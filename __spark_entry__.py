@@ -283,7 +283,7 @@ def q_doc_ngram_jaccard(spark, sf_dir):
 def q_doc_minhash_dedup(spark, sf_dir):
     from pgd_spark.functions.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(spark, sf_dir), n=3, threshold=0.55)
+    return minhash_dedup(_docs(spark, sf_dir), n=3, threshold=0.7)
 
 
 def q_doc_simhash(spark, sf_dir):

@@ -109,7 +109,7 @@ def main() -> None:
     # 7. corpus dedup (MinHash LSH + exact verify)
     with timed("minhash_dedup"):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        extras["minhash_pairs"] = minhash_dedup(docs, threshold=0.7).count()
+        extras["minhash_pairs"] = minhash_dedup(docs, threshold=0.75).count()
 
     # 8. embedding brute-force cosine top-k
     with timed("cosine_topk"):

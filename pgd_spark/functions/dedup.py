@@ -111,13 +111,20 @@ def minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """[id_a, id_b, jaccard] near-dup pairs: banded-LSH candidates,
     then EXACT n-gram Jaccard verification of candidates only (no
-    false positives; recall is the standard 1-(1-s^r)^b curve)."""
+    false positives; recall is the standard 1-(1-s^r)^b curve —
+    defaults r=8,b=16 put the S-curve knee at ≈(1/16)^(1/8)≈0.71).
+
+    ``max_bucket_size`` skips band-buckets larger than the cap: on
+    boilerplate-heavy corpora a mega-bucket means thousands of mutual
+    near-dups whose pair list is quadratic; the cap bounds the worst
+    case while other bands still recall pairs (None = no cap)."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = sig.select(
@@ -136,6 +143,14 @@ def minhash_dedup(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"])
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
