@@ -68,18 +68,35 @@ def _edge_counts_broadcast(g: Graph, edge_predicate=None) -> DataFrame:
 
     from pgd_spark.operators.kernels import build_csr, make_broadcast_kernel
 
+    import pandas as pd
+
     edges_pdf = g.edges.toPandas()
     src = edges_pdf["src"].to_numpy(dtype=np.int64)
     dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
     csr = build_csr(src, dst)
+    uniq, indptr, _ = csr
     bc = g.spark.sparkContext.broadcast(csr)
-    ori = g.oriented()
+    # The edge list is already on the driver — orient it in numpy
+    # instead of paying the degrees groupBy + two shuffle joins that
+    # the generic oriented() view costs.
+    deg = indptr[1:] - indptr[:-1]
+    sd = np.searchsorted(uniq, src)
+    dd = np.searchsorted(uniq, dst)
+    flip = (deg[dd] < deg[sd]) | ((deg[dd] == deg[sd]) & (dst < src))
+    ori_pdf = pd.DataFrame(
+        {
+            "v": np.where(flip, dst, src),
+            "u": np.where(flip, src, dst),
+            "deg_v": np.where(flip, deg[dd], deg[sd]).astype(np.int64),
+            "deg_u": np.where(flip, deg[sd], deg[dd]).astype(np.int64),
+        }
+    )
+    ori = g.spark.createDataFrame(ori_pdf)
     if edge_predicate is not None:
         ori = ori.filter(edge_predicate)
-    # AQE coalesces the (small) oriented-edge output down to one
-    # partition, which would serialize the kernel — spread the edges
-    # across all cores; round-robin keeps the per-task work uniform
-    # regardless of hub skew.
+    # AQE would coalesce this small input to few partitions, which
+    # serializes the kernel — spread edges across all cores; round-
+    # robin keeps per-task work uniform regardless of hub skew.
     par = g.spark.sparkContext.defaultParallelism
     ori = ori.repartition(par)
     out = ori.mapInPandas(
