@@ -45,6 +45,8 @@ def build_csr(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray,
     deg = np.bincount(heads, minlength=n)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
+    # keep indices at intp width: numpy re-casts narrower index arrays
+    # on every fancy-index, which costs more than the bandwidth saved
     return uniq, indptr, indices.astype(np.int64)
 
 
@@ -58,7 +60,7 @@ def _multi_slice_gather(indptr: np.ndarray, indices: np.ndarray, verts: np.ndarr
     # flat positions: for each vert k, starts[k] + 0..lens[k]-1
     rep_starts = np.repeat(starts, lens)
     offsets = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
-    return indices[rep_starts + offsets]
+    return indices.take(rep_starts + offsets)
 
 
 def edge_counts_batch(
@@ -90,10 +92,16 @@ def edge_counts_batch(
         tri_out[i] = len(T)
         ind[T] = 3
         ind[W] = 2
-        # 4-cycles: w in W_u adjacent to x with ind[x]==1, i.e. x in N(v)\N(u)\{u}
+        # 4-cycles: adjacency between W_u (marks==2) and Wv = N(v)\N(u)\{u}
+        # (marks==1).  Count from the Wv side: degree orientation makes
+        # |Wv| = deg_v - tri - 1 <= |W_u|, so its neighbor volume is the
+        # cheaper gather in expectation (the reference always scans W_u).
         if len(W):
-            flat_w = _multi_slice_gather(indptr, indices, W)
-            cyc_out[i] = int((ind[flat_w] == 1).sum())
+            nv_f = nv[nv != u]
+            Wv = nv_f[ind[nv_f] == 1]
+            if len(Wv):
+                flat_x = _multi_slice_gather(indptr, indices, Wv)
+                cyc_out[i] = int((ind[flat_x] == 2).sum())
         # 4-cliques: ordered adjacent pairs within T → /2 (cpp:1230-1240 unmarks
         # progressively to count unordered; counting ordered and halving is equal)
         if len(T) > 1:
