@@ -66,22 +66,25 @@ def edge_graphlet_counts(
 def _edge_counts_broadcast(g: Graph, edge_predicate=None) -> DataFrame:
     import numpy as np
 
-    from pgd_spark.operators.kernels import build_csr, make_broadcast_kernel
+    from pgd_spark.operators.kernels import make_broadcast_kernel
 
     import pandas as pd
 
     edges_pdf = g.edges.toPandas()
     src = edges_pdf["src"].to_numpy(dtype=np.int64)
     dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
-    csr = build_csr(src, dst)
-    uniq, indptr, _ = csr
-    bc = g.spark.sparkContext.broadcast(csr)
+    # broadcast raw edge arrays; workers build + cache the CSR in
+    # parallel (driver-side CSR construction would serialize a step
+    # that grows with |E|)
+    bc = g.spark.sparkContext.broadcast((src, dst))
     # The edge list is already on the driver — orient it in numpy
     # instead of paying the degrees groupBy + two shuffle joins that
-    # the generic oriented() view costs.
-    deg = indptr[1:] - indptr[:-1]
-    sd = np.searchsorted(uniq, src)
-    dd = np.searchsorted(uniq, dst)
+    # the generic oriented() view costs.  (This degree pass is cheap:
+    # one bincount over 2m ids.)
+    uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(uniq))
+    m = len(src)
+    sd, dd = inv[:m], inv[m:]
     flip = (deg[dd] < deg[sd]) | ((deg[dd] == deg[sd]) & (dst < src))
     ori_pdf = pd.DataFrame(
         {

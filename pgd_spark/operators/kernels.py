@@ -113,15 +113,34 @@ def edge_counts_batch(
     return tri_out, cliq_out, cyc_out
 
 
-def make_broadcast_kernel(bc_csr):
+# per-worker CSR cache: python workers are reused across tasks, so the
+# CSR is built once per worker (in parallel across the cluster) instead
+# of once serially on the driver — the driver only broadcasts the raw
+# edge arrays.
+_CSR_CACHE: dict[str, tuple] = {}
+
+
+def make_broadcast_kernel(bc_edges):
     """mapInPandas function over oriented edge batches.
 
-    Input batches: columns v, u, deg_v, deg_u (original ids).
-    Output: same + tri, cliq, cyc.
+    ``bc_edges`` broadcasts (src, dst) numpy arrays; each worker builds
+    and caches the CSR locally.  Input batches: columns v, u, deg_v,
+    deg_u (original ids).  Output: same + tri, cliq, cyc.
     """
 
+    import uuid
+
+    token = uuid.uuid4().hex  # pickled into the closure: stable across tasks
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        uniq, indptr, indices = bc_csr.value
+        key = token
+        csr = _CSR_CACHE.get(key)
+        if csr is None:
+            src, dst = bc_edges.value
+            csr = build_csr(src, dst)
+            _CSR_CACHE.clear()  # one graph at a time per worker
+            _CSR_CACHE[key] = csr
+        uniq, indptr, indices = csr
         n = len(uniq)
         for pdf in batches:
             if len(pdf) == 0:
