@@ -90,7 +90,12 @@ def pagerank(
     spark = g.spark
     n = g.num_vertices()
     deg = g.degrees()
-    edges = g.symmetric()  # v -> w both ways
+    # fold the out-degree into the edge table once — saves a join per
+    # iteration (the degree of the SOURCE side rides along each edge)
+    edges_deg = (
+        g.symmetric().join(deg, "v").select("v", "w", "degree").persist()
+    )
+    edges_deg.count()
     log = log if log is not None else IterationLog()
 
     ranks, start_it = _latest_checkpoint(spark, checkpoint_dir, "pagerank")
@@ -102,11 +107,9 @@ def pagerank(
     for it in range(start_it + 1, max_iter):
         t0 = time.time()
         contribs = (
-            ranks.join(deg, "v")
-            .select("v", (F.col("rank") / F.col("degree")).alias("share"))
-            .join(edges, "v")
+            ranks.join(edges_deg, "v")
             .groupBy(F.col("w").alias("v"))
-            .agg(F.sum("share").alias("in_sum"))
+            .agg(F.sum(F.col("rank") / F.col("degree")).alias("in_sum"))
         )
         new_ranks = deg.select("v").join(contribs, "v", "left").select(
             "v",
