@@ -82,9 +82,18 @@ def main(argv: list[str] | None = None) -> int:
         write_macro_stats(totals, args.macro)
         print(f"wrote macro stats → {args.macro}")
     if args.micro:
-        mdf = micro_counts(g, counts=counts, pgd_quirk=not args.corrected_tailed)
+        mdf = micro_counts(g, counts=counts, pgd_quirk=not args.corrected_tailed).persist()
         write_micro_stats(mdf, args.micro)
         print(f"wrote micro stats → {args.micro}")
+        # reference driver prints univar stats of the per-edge 4-clique
+        # counts after micro output (graphlet_driver.cpp:86-90)
+        from pgd_spark.operators.stats import univar_stats
+
+        st = univar_stats(mdf, "clique4")
+        print(
+            "local_4_clique stats: "
+            + ", ".join(f"{k}={st[k]}" for k in ["n", "mean", "median", "min", "max", "std", "iqr"])
+        )
     if args.gfd:
         write_gfd(totals, args.gfd)
         print(f"wrote GFD → {args.gfd}")

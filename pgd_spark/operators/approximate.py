@@ -32,10 +32,19 @@ def approximate_macro_counts(
 
     n, m = g.num_vertices(), g.num_edges()
     denom = 1_000_003  # prime → near-uniform buckets
-    keep = F.pmod(F.xxhash64("v", "u", F.lit(seed)), F.lit(denom)) < int(fraction * denom)
+    limit = int(fraction * denom)
 
-    # kernels run ONLY on the sampled edges (counts stay full-graph-relative)
-    sampled = edge_graphlet_counts(g, strategy=strategy, edge_predicate=keep).persist()
+    from pgd_spark.operators.graphlets import _edge_counts_broadcast
+
+    # kernels run ONLY on the sampled edges (counts stay full-graph-
+    # relative).  The two strategies use different (both deterministic)
+    # hash families; the estimator divides by the REALIZED inclusion
+    # rate, so it is unbiased either way.
+    if strategy == "distributed" or (strategy == "auto" and m > 5_000_000):
+        keep = F.pmod(F.xxhash64("v", "u", F.lit(seed)), F.lit(denom)) < limit
+        sampled = edge_graphlet_counts(g, strategy="distributed", edge_predicate=keep).persist()
+    else:
+        sampled = _edge_counts_broadcast(g, sample=(denom, limit, seed)).persist()
     p = sampled.count() / m if m else 1.0  # realized inclusion rate
     if p == 0:
         raise ValueError("sample empty — raise fraction")

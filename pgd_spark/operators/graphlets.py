@@ -63,49 +63,32 @@ def edge_graphlet_counts(
 
 
 # ---------------------------------------------------------------- broadcast
-def _edge_counts_broadcast(g: Graph, edge_predicate=None) -> DataFrame:
+def _edge_counts_broadcast(
+    g: Graph, edge_predicate=None, sample: tuple[int, int, int] | None = None
+) -> DataFrame:
     import numpy as np
 
-    from pgd_spark.operators.kernels import make_broadcast_kernel
-
-    import pandas as pd
+    from pgd_spark.operators.kernels import make_range_kernel
 
     edges_pdf = g.edges.toPandas()
     src = edges_pdf["src"].to_numpy(dtype=np.int64)
     dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
-    # broadcast raw edge arrays; workers build + cache the CSR in
-    # parallel (driver-side CSR construction would serialize a step
-    # that grows with |E|)
-    bc = g.spark.sparkContext.broadcast((src, dst))
-    # The edge list is already on the driver — orient it in numpy
-    # instead of paying the degrees groupBy + two shuffle joins that
-    # the generic oriented() view costs.  (This degree pass is cheap:
-    # one bincount over 2m ids.)
-    uniq, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    deg = np.bincount(inv, minlength=len(uniq))
     m = len(src)
-    sd, dd = inv[:m], inv[m:]
-    flip = (deg[dd] < deg[sd]) | ((deg[dd] == deg[sd]) & (dst < src))
-    ori_pdf = pd.DataFrame(
-        {
-            "v": np.where(flip, dst, src),
-            "u": np.where(flip, src, dst),
-            "deg_v": np.where(flip, deg[dd], deg[sd]).astype(np.int64),
-            "deg_u": np.where(flip, deg[sd], deg[dd]).astype(np.int64),
-        }
-    )
-    ori = g.spark.createDataFrame(ori_pdf)
-    if edge_predicate is not None:
-        ori = ori.filter(edge_predicate)
-    # AQE would coalesce this small input to few partitions, which
-    # serializes the kernel — spread edges across all cores; round-
-    # robin keeps per-task work uniform regardless of hub skew.
+    # broadcast raw edge arrays; each worker builds + caches the CSR
+    # and the degree-oriented edge view locally (in parallel).  The
+    # parallelized input is just a row-id range -- no edge bytes cross
+    # a shuffle, so repeat passes cost only kernel time.
+    bc = g.spark.sparkContext.broadcast((src, dst))
     par = g.spark.sparkContext.defaultParallelism
-    ori = ori.repartition(par)
-    out = ori.mapInPandas(
-        make_broadcast_kernel(bc),
+    ids = g.spark.range(0, m, 1, par)
+    out = ids.mapInPandas(
+        make_range_kernel(bc, sample=sample),
         schema="v long, u long, deg_v long, deg_u long, tri long, cliq long, cyc long",
     )
+    if edge_predicate is not None:
+        # generic Column predicates evaluate on the kernel OUTPUT --
+        # pass `sample` instead when the point is to skip kernel work
+        out = out.filter(edge_predicate)
     return out
 
 
@@ -300,22 +283,26 @@ def macro_counts(
     star = (dv - tri - 1) + (du - tri - 1)
     disconn = F.lit(n) - (star + tri) - 2
     rv, ru = dv - tri - 1, du - tri - 1
+    # decimal sums are only needed when Σ over m edges of ~n²-sized
+    # terms can overflow int64; below that bound plain longs keep the
+    # aggregation inside whole-stage codegen (decimal agg is ~3× slower)
+    big = _DEC if n * n * m >= (1 << 62) else "long"
     terms = c.select(
         tri.alias("t_tri"),
         star.alias("t_star"),
-        disconn.cast(_DEC).alias("t_disc"),
+        disconn.cast(big).alias("t_disc"),
         F.col("cliq").alias("t_cliq"),
         F.col("cyc").alias("t_cyc"),
-        ((tri + star) * (tri + star - 1) / 2).cast(_DEC).alias("n1"),
+        ((tri + star) * (tri + star - 1) / 2).cast(big).alias("n1"),
         (star * (star - 1) / 2).cast("long").alias("n2"),
         (tri * (tri - 1) / 2).cast("long").alias("n3"),
         (tri * star).cast("long").alias("n4"),
         (rv * ru).cast("long").alias("n5"),
         ((rv * (rv - 1) / 2) + (ru * (ru - 1) / 2)).cast("long").alias("n6"),
         (F.lit(m) - dv - du + 1).cast("long").alias("n7"),
-        (disconn * (disconn - 1) / 2).cast(_DEC).alias("n8"),
-        (star * disconn).cast(_DEC).alias("n9"),
-        (tri * disconn).cast(_DEC).alias("n10"),
+        (disconn * (disconn - 1) / 2).cast(big).alias("n8"),
+        (star * disconn).cast(big).alias("n9"),
+        (tri * disconn).cast(big).alias("n10"),
     )
     row = terms.agg(*[F.sum(col).alias(col) for col in terms.columns]).first()
     s = {k: int(row[k] or 0) for k in terms.columns}

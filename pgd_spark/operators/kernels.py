@@ -120,6 +120,73 @@ def edge_counts_batch(
 _CSR_CACHE: dict[str, tuple] = {}
 
 
+def _oriented_state(src: np.ndarray, dst: np.ndarray):
+    """CSR + degree-oriented dense edge arrays, built once per worker."""
+    uniq, indptr, indices = build_csr(src, dst)
+    deg = indptr[1:] - indptr[:-1]
+    m = len(src)
+    inv = np.searchsorted(uniq, np.concatenate([src, dst]))
+    sd, dd = inv[:m], inv[m:]
+    flip = (deg[dd] < deg[sd]) | ((deg[dd] == deg[sd]) & (dst < src))
+    ov = np.where(flip, dd, sd)
+    ou = np.where(flip, sd, dd)
+    return uniq, indptr, indices, ov, ou, deg
+
+
+def make_range_kernel(bc_edges, sample: tuple[int, int, int] | None = None):
+    """mapInPandas over ``spark.range(m)``: workers slice the broadcast
+    edge arrays by row id — no edge data moves through a shuffle at all.
+
+    ``sample`` = (denom, limit, seed): keep edge iff
+    mix64(v,u,seed) % denom < limit (the approximate-census filter),
+    evaluated in numpy before any kernel work.
+    """
+    import uuid
+
+    token = uuid.uuid4().hex
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = _CSR_CACHE.get(token)
+        if state is None:
+            src, dst = bc_edges.value
+            state = _oriented_state(src, dst)
+            _CSR_CACHE.clear()
+            _CSR_CACHE[token] = state
+        uniq, indptr, indices, ov, ou, deg = state
+        n = len(uniq)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx = pdf["id"].to_numpy()
+            v = ov[idx]
+            u = ou[idx]
+            if sample is not None:
+                denom, limit, seed = sample
+                h = (
+                    uniq[v].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                    + uniq[u].astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                    + np.uint64(seed)
+                )
+                keep = (h % np.uint64(denom)) < np.uint64(limit)
+                v, u = v[keep], u[keep]
+                if len(v) == 0:
+                    continue
+            tri, cliq, cyc = edge_counts_batch(v, u, indptr, indices, n)
+            yield pd.DataFrame(
+                {
+                    "v": uniq[v],
+                    "u": uniq[u],
+                    "deg_v": deg[v].astype(np.int64),
+                    "deg_u": deg[u].astype(np.int64),
+                    "tri": tri,
+                    "cliq": cliq,
+                    "cyc": cyc,
+                }
+            )
+
+    return fn
+
+
 def make_broadcast_kernel(bc_edges):
     """mapInPandas function over oriented edge batches.
 
