@@ -189,7 +189,7 @@ def q_g_pagerank(spark, sf_dir):
     from pgd_spark.operators.pregel import pagerank
 
     g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
-    return pagerank(g, tol=1e-8).select("v", F.round("rank", 6).alias("rank"))
+    return pagerank(g, tol=1e-6).select("v", F.round("rank", 6).alias("rank"))
 
 
 def q_g_connected_components(spark, sf_dir):

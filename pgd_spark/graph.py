@@ -56,6 +56,28 @@ class Graph:
     def from_edges(cls, df: DataFrame, src: str = "src", dst: str = "dst") -> "Graph":
         return cls(normalize_edges(df, src, dst), already_canonical=True)
 
+    @classmethod
+    def from_pairs(cls, spark, pairs) -> "Graph":
+        """In-memory pair list → Graph (the reference's
+        graphlet_core(nverts, nedges, pair<int,int>*) ctor analog,
+        graphlet_core.cpp:152-182: self-loops dropped, dedup applied)."""
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+        )
+        return cls.from_edges(df)
+
+    @classmethod
+    def from_csr(cls, spark, indptr, indices) -> "Graph":
+        """CSR arrays → Graph (the reference's CSR ctor analog,
+        graphlet_core.cpp:127-143).  Accepts numpy arrays or lists."""
+        pairs = []
+        for v in range(len(indptr) - 1):
+            for j in range(int(indptr[v]), int(indptr[v + 1])):
+                w = int(indices[j])
+                if v < w:
+                    pairs.append((v, w))
+        return cls.from_pairs(spark, pairs)
+
     # -- basic derived tables -----------------------------------------
     def symmetric(self) -> DataFrame:
         """Both directions of every edge: [v, w]. 2m rows."""

@@ -91,9 +91,19 @@ def pagerank(
     n = g.num_vertices()
     deg = g.degrees()
     # fold the out-degree into the edge table once — saves a join per
-    # iteration (the degree of the SOURCE side rides along each edge)
+    # iteration — and persist it HASH-PARTITIONED on the join key so
+    # every iteration's join reuses the partitioning (only the small
+    # ranks side moves); the SHUFFLE_HASH hint keeps Catalyst from
+    # picking sort-merge, which would re-sort this table every
+    # iteration (measured: the sort dominated iteration cost).
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     edges_deg = (
-        g.symmetric().join(deg, "v").select("v", "w", "degree").persist()
+        g.symmetric()
+        .join(deg, "v")
+        .select("v", "w", "degree")
+        .repartition(npart, "v")
+        .hint("SHUFFLE_HASH")
+        .persist()
     )
     edges_deg.count()
     log = log if log is not None else IterationLog()

@@ -61,6 +61,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # shuffle/spill to tmpfs when available — the sandbox's /tmp is a
+    # spinning-rust-class virtual disk and serializes shuffle-heavy
+    # stages; on a real cluster this is the local-SSD scratch dir
+    shm = "/dev/shm/pgd-spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

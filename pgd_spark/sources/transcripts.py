@@ -110,6 +110,10 @@ def edges_from_transcripts(
     ordering) is untouched by construction.
     """
     vm = vmap if vmap is not None else vertex_map(transcripts)
+    # materialize the (small) vertex map once: broadcasting it twice
+    # below would otherwise recompute its full source scan per build
+    vm = vm.persist()
+    vm.count()
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     t = transcripts.select(
         "conv_id", "turn_idx", "role", "tool", F.lead("role").over(w).alias("next_role")

@@ -58,6 +58,19 @@ def test_sample_graph_csv_extra_columns(spark):
     assert g.num_edges() <= 14267 and g.num_edges() > 14000
 
 
+def test_from_pairs_and_csr(spark):
+    from pgd_spark.graph import Graph
+
+    g1 = Graph.from_pairs(spark, [(0, 1), (1, 0), (1, 1), (1, 2)])
+    assert g1.num_edges() == 2  # dup + self-loop dropped (cpp:152-182)
+    # triangle as CSR
+    indptr = [0, 2, 4, 6]
+    indices = [1, 2, 0, 2, 0, 1]
+    g2 = Graph.from_csr(spark, indptr, indices)
+    assert g2.num_edges() == 3
+    assert macro_counts(g2)["total_3_tris"] == 1
+
+
 def test_densify(spark):
     from tests.conftest import make_graph
 
