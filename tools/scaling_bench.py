@@ -70,10 +70,14 @@ counts.unpersist()
 gp = random_graph(spark, 600000 if not quick else 50000,
                   12000000 if not quick else 600000, seed=7, skew=0.3)
 gp.edges.persist(); gp.num_edges()
-t0 = time.time()
-log = IterationLog()
-pagerank(gp, tol=0.0, max_iter=PR_ITERS, log=log).count()
-res["pagerank_sec"] = time.time() - t0
+best = None
+for _rep in range(2):  # best-of-2: single-box runs are noisy at width
+    t0 = time.time()
+    log = IterationLog()
+    pagerank(gp, tol=0.0, max_iter=PR_ITERS, log=log).count()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+res["pagerank_sec"] = best
 res["pagerank_iters"] = PR_ITERS
 res["pagerank_iters_per_sec"] = PR_ITERS / res["pagerank_sec"]
 
@@ -84,11 +88,15 @@ import shutil, tempfile
 tdir = tempfile.mkdtemp(dir="/dev/shm") + "/transcripts"
 generate_transcripts(spark, N_CONV).write.mode("overwrite").parquet(tdir)
 tr = spark.read.parquet(tdir)
-t0 = time.time()
-tg, _ = edges_from_transcripts(tr)
-tg.num_edges(); turns = tr.count()
+best = None
+for _rep in range(3):  # best-of-3 (noisy shuffle job on this VM)
+    t0 = time.time()
+    tg, _ = edges_from_transcripts(tr)
+    tg.num_edges(); turns = tr.count()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
 res["transcript_turns"] = turns
-res["transcript_sec"] = time.time() - t0
+res["transcript_sec"] = best
 res["transcript_turns_per_sec"] = turns / res["transcript_sec"]
 shutil.rmtree(tdir, ignore_errors=True)
 
