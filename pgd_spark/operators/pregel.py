@@ -157,16 +157,21 @@ def connected_components(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     log: IterationLog | None = None,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
-    """Hash-min label propagation: label(v) ← min(label(v), min over
-    neighbors), iterate to fixpoint.  Returns [v, component] where the
-    component id is the minimum vertex id in the component (exact).
+    """Connected components; [v, component] with component = min vertex
+    id in the component (exact).
 
-    O(diameter) rounds; each round one join+agg.  For graphs with huge
-    diameters the large-star/small-star variant halves rounds — the
-    hash-min loop is kept because transcript-derived social-style
-    graphs have small diameters and each round is one shuffle.
+    ``hashmin``  — label(v) ← min(label(v), min over neighbors) to
+    fixpoint; O(diameter) rounds, one join+agg each.  Right default for
+    small-diameter social/transcript graphs.
+    ``two_phase`` — alternating large-star/small-star contractions
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds regardless of diameter — the web-scale
+    path for high-diameter graphs.
     """
+    if algorithm == "two_phase":
+        return _cc_two_phase(g, max_iter, checkpoint_dir, log)
     spark = g.spark
     edges = g.symmetric()
     log = log if log is not None else IterationLog()
@@ -198,6 +203,89 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _cc_two_phase(
+    g: Graph,
+    max_iter: int,
+    checkpoint_dir: str | None,
+    log: IterationLog | None,
+) -> DataFrame:
+    """Alternating large-star/small-star contractions (SoCC'14)."""
+    spark = g.spark
+    log = log if log is not None else IterationLog()
+    verts = g.degrees().select("v")
+    state, _it = _latest_checkpoint(spark, checkpoint_dir, "cc2")
+    if state is not None:
+        edges = state.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    else:
+        edges = g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        edges = edges.localCheckpoint(eager=True)
+
+    def checksum(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("c"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    prev = checksum(edges)
+    for it in range(max_iter):
+        t0 = time.time()
+        sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("x"), F.least(F.col("u"), F.col("mn")).alias("y")
+            )
+        )
+        e1 = (
+            ls.filter(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .distinct()
+        )
+        # small-star: per node u, the smaller neighbors ∪ {u} all link
+        # to their minimum
+        low = e1.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        lmin = low.groupBy("u").agg(F.min("v").alias("mn"))
+        ss_members = low.unionAll(lmin.select(F.col("u"), F.col("u").alias("v")))
+        ss = (
+            ss_members.join(lmin, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("x"), F.col("mn").alias("y"))
+        )
+        e2 = (
+            ss.filter(F.col("x") != F.col("y"))
+            .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .distinct()
+        )
+        e2 = _cut_lineage(
+            e2.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            checkpoint_dir,
+            "cc2",
+            it,
+            log,
+        ).select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        cur = checksum(e2)
+        log.add(algo="cc_two_phase", iter=it, edges=int(cur[0]), seconds=time.time() - t0)
+        converged = cur == prev
+        edges = e2
+        prev = cur
+        if converged:
+            break
+    # star forest: b is the child side after small-star? edges are
+    # canonical (a<b) with a = root candidate; component = min side.
+    labels = edges.select(F.col("b").alias("v"), F.col("a").alias("component"))
+    out = (
+        verts.join(labels, "v", "left")
+        .select("v", F.coalesce("component", "v").alias("component"))
+    )
+    return out
 
 
 # --------------------------------------------------------- label propagation
