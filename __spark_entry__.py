@@ -199,6 +199,34 @@ def q_g_connected_components(spark, sf_dir):
     return connected_components(g).select("v", "component")
 
 
+def q_g_connected_components_two_phase(spark, sf_dir):
+    from pgd_spark.operators.pregel import connected_components
+
+    g = _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY)
+    return connected_components(g, algorithm="two_phase").select("v", "component")
+
+
+def q_g_gfd(spark, sf_dir):
+    from pgd_spark.operators.graphlets import (
+        compute_connected_gfd,
+        compute_disconnected_gfd,
+        macro_counts,
+    )
+
+    t = macro_counts(
+        _copurchase_graph(spark, sf_dir, SUBGRAPH_MAX_PARTKEY), strategy="broadcast"
+    )
+    con = compute_connected_gfd(t)
+    dis = compute_disconnected_gfd(t)
+    names = ["clique4", "chordal4", "tailed4", "cycle4", "star3", "path4"]
+    dnames = ["tri4", "star2_4", "edge2_4", "edge1_4", "indep4"]
+    row = tuple(round(x, 6) for x in con) + tuple(round(x, 6) for x in dis)
+    schema = ", ".join(f"gfd_{n} double" for n in names) + ", " + ", ".join(
+        f"gfd_{n} double" for n in dnames
+    )
+    return spark.createDataFrame([row], schema)
+
+
 def q_g_label_propagation(spark, sf_dir):
     from pgd_spark.operators.pregel import label_propagation
 
@@ -354,6 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_kcore": q_g_kcore,
         "g_pagerank": q_g_pagerank,
         "g_connected_components": q_g_connected_components,
+        "g_connected_components_two_phase": q_g_connected_components_two_phase,
+        "g_gfd": q_g_gfd,
         "g_label_propagation": q_g_label_propagation,
         "g_triangle_per_vertex": q_g_triangle_per_vertex,
         "g_vertex_micro": q_g_vertex_micro,
@@ -649,6 +679,33 @@ cc AS (
   SELECT v, min(w) AS component FROM r GROUP BY v
 )
 SELECT v, component FROM cc"""
+    )
+    o["g_connected_components_two_phase"] = o["g_connected_components"]
+    o["g_gfd"] = (
+        "WITH mac AS (" + _macro_sql() + """)
+SELECT
+  round(CAST(total_4_clique AS DOUBLE) / cs, 6) AS gfd_clique4,
+  round(CAST(total_4_chordcycle AS DOUBLE) / cs, 6) AS gfd_chordal4,
+  round(CAST(total_4_tailed_tris AS DOUBLE) / cs, 6) AS gfd_tailed4,
+  round(CAST(total_4_cycle AS DOUBLE) / cs, 6) AS gfd_cycle4,
+  round(CAST(total_3_star AS DOUBLE) / cs, 6) AS gfd_star3,
+  round(CAST(total_4_path AS DOUBLE) / cs, 6) AS gfd_path4,
+  round(CAST(total_4_tri AS DOUBLE) / ds, 6) AS gfd_tri4,
+  round(CAST(total_4_2star AS DOUBLE) / ds, 6) AS gfd_star2_4,
+  round(CAST(total_4_2edge AS DOUBLE) / ds, 6) AS gfd_edge2_4,
+  round(CAST(total_4_1edge AS DOUBLE) / ds, 6) AS gfd_edge1_4,
+  round(1.0 - (CAST(total_4_tri AS DOUBLE) / ds
+             + CAST(total_4_2star AS DOUBLE) / ds
+             + CAST(total_4_2edge AS DOUBLE) / ds
+             + CAST(total_4_1edge AS DOUBLE) / ds), 6) AS gfd_indep4
+FROM (
+  SELECT m.*,
+         CAST(total_4_clique + total_4_chordcycle + total_4_tailed_tris
+              + total_4_cycle + total_3_star + total_4_path AS DOUBLE) AS cs,
+         CAST(total_4_tri + total_4_2star + total_4_2edge
+              + total_4_1edge + total_4_indep AS DOUBLE) AS ds
+  FROM mac m
+)"""
     )
     o["events_graph_edges"] = """
 WITH typed AS (

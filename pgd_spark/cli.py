@@ -21,7 +21,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="PySpark-native Parallel Parameterized Graphlet Decomposition",
     )
     p.add_argument("-f", "--file", "--graph", dest="file", required=True, help="input graph file")
-    p.add_argument("-a", "--algorithm", default="exact", help="exact (default)")
+    p.add_argument("-a", "--algorithm", default="exact", help="exact | approximate")
+    p.add_argument("--fraction", type=float, default=0.1,
+                   help="edge-sample fraction for -a approximate (README.md:290-307 capability)")
     p.add_argument("-w", "--workers", type=int, default=None, help="cores (local[w])")
     p.add_argument("-b", "--block_size", type=int, default=64, help="accepted; Spark schedules tasks")
     p.add_argument("-o", "--ordering", default="degree", help="degree|kcore|rand|natural (scheduling only)")
@@ -62,8 +64,15 @@ def main(argv: list[str] | None = None) -> int:
 
     strategy = args.strategy or ({"adj": "broadcast", "csc": "distributed"}.get(args.rep, "auto"))
     t0 = time.time()
-    counts = edge_graphlet_counts(g, strategy=strategy).persist()
-    totals = macro_counts(g, counts=counts)
+    if args.algorithm.startswith("approx"):
+        from pgd_spark.operators.approximate import approximate_macro_counts
+
+        counts = None
+        totals = approximate_macro_counts(g, fraction=args.fraction, strategy=strategy)
+        print(f"approximate census (fraction≈{totals['_sample_fraction']:.4f})")
+    else:
+        counts = edge_graphlet_counts(g, strategy=strategy).persist()
+        totals = macro_counts(g, counts=counts)
     dt = time.time() - t0
     print(f"graphlet decomposition: {dt:.2f}s  ({m/max(dt,1e-9):.0f} edges/sec)")
 
@@ -74,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
     print(f"total_wedges = {totals['total_wedges']}")
     print(f"global_cc = {totals['global_cc']}")
 
-    if args.verbose:
+    if args.verbose and "_nsums" in totals:
         checks = check_identities(totals)
         print("identity checks:", "ALL OK" if all(checks.values()) else checks)
 
