@@ -8,14 +8,26 @@ from pgd_spark.operators.pregel import (
     label_propagation,
     pagerank,
 )
-from pgd_spark.operators.kcore import kcore
+from pgd_spark.operators.approximate import approximate_macro_counts
+from pgd_spark.operators.kcore import degeneracy_order, kcore, max_core
+from pgd_spark.operators.ordering import edge_ordering
+from pgd_spark.operators.stats import assortativity, degree_stats, univar_stats
+from pgd_spark.operators.vertex_micro import vertex_micro_counts
 
 __all__ = [
     "edge_graphlet_counts",
     "macro_counts",
     "micro_counts",
+    "vertex_micro_counts",
+    "approximate_macro_counts",
     "pagerank",
     "connected_components",
     "label_propagation",
     "kcore",
+    "max_core",
+    "degeneracy_order",
+    "edge_ordering",
+    "assortativity",
+    "degree_stats",
+    "univar_stats",
 ]
