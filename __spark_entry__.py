@@ -305,7 +305,12 @@ def q_doc_exact_dedup(spark, sf_dir):
 def q_doc_ngram_jaccard(spark, sf_dir):
     from pgd_spark.functions.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.55)
+    # max_postings bounds the inverted-index self-join fan-out on
+    # stopword shingles at corpus scale; 10k exceeds every posting list
+    # at sf<=0.1 (<=5k docs total) so the small-sf result stays exact.
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.55, max_postings=10_000
+    )
 
 
 def q_doc_minhash_dedup(spark, sf_dir):

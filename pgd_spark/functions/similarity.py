@@ -32,6 +32,14 @@ def _norm(a):
     )
 
 
+def _cosine(ivec, qvec, inorm, qnorm):
+    """Guarded cosine: a zero-norm vector scores -1.0 instead of NaN —
+    Spark orders NaN ABOVE every double, so unguarded zero vectors
+    would rank first in every descending top-k."""
+    den = inorm * qnorm
+    return F.when(den > 0, _dot(ivec, qvec) / den).otherwise(F.lit(-1.0))
+
+
 def cosine_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -54,7 +62,7 @@ def cosine_topk(
     scored = it.crossJoin(F.broadcast(qs)).select(
         query_id_col,
         id_col,
-        (_dot(F.col("ivec"), F.col("qvec")) / (F.col("inorm") * F.col("qnorm"))).alias("sim"),
+        _cosine(F.col("ivec"), F.col("qvec"), F.col("inorm"), F.col("qnorm")).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
@@ -87,11 +95,16 @@ def lsh_cosine_topk(
     bits: int = 12,
     tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: per table, items and queries hash to
     sign-bit buckets; candidates = bucket collisions in any table;
-    exact cosine re-score + window top-k on candidates."""
-    dim = len(items.select(vec_col).first()[0])
+    exact cosine re-score + window top-k on candidates.
+
+    Pass ``dim`` (embedding dimensionality) explicitly in pipelines —
+    the None fallback runs a driver-side first() just to measure it."""
+    if dim is None:
+        dim = len(items.select(vec_col).first()[0])
     buckets_i = []
     buckets_q = []
     for t in range(tables):
@@ -119,7 +132,7 @@ def lsh_cosine_topk(
     scored = cand.select(
         query_id_col,
         id_col,
-        (_dot(F.col("ivec"), F.col("qvec")) / (F.col("inorm") * F.col("qnorm"))).alias("sim"),
+        _cosine(F.col("ivec"), F.col("qvec"), F.col("inorm"), F.col("qnorm")).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (

@@ -262,10 +262,57 @@ MACRO_KEYS = [
 ]
 
 
+def _macro_terms(c: DataFrame, n: int, m: int, big: str) -> DataFrame:
+    """Per-edge closed-form terms N1..N10 + raw kernel sums.
+
+    When ``big`` is decimal, EVERY arithmetic step on the disconnected
+    terms happens in decimal: Spark's ``/`` on long operands promotes
+    to double (53-bit mantissa) BEFORE any outer cast, so e.g.
+    disconn*(disconn-1)/2 would silently round once disconn exceeds
+    ~1.3e8 — exactly the large-n regime the decimal branch exists for.
+    x*(x-1) is always even, so decimal division by 2 (which keeps
+    scale 6) is exact and the cast back to scale 0 loses nothing.
+    """
+    tri, dv, du = F.col("tri"), F.col("deg_v"), F.col("deg_u")
+    star = (dv - tri - 1) + (du - tri - 1)
+    disconn = F.lit(n) - (star + tri) - 2
+    rv, ru = dv - tri - 1, du - tri - 1
+    if big == _DEC:
+        ts_d = (tri + star).cast(_DEC)
+        disc_d = disconn.cast(_DEC)
+        n1 = (ts_d * (ts_d - 1) / 2).cast(_DEC)
+        n8 = (disc_d * (disc_d - 1) / 2).cast(_DEC)
+        n9 = star.cast(_DEC) * disc_d
+        n10 = tri.cast(_DEC) * disc_d
+    else:
+        n1 = ((tri + star) * (tri + star - 1) / 2).cast("long")
+        n8 = (disconn * (disconn - 1) / 2).cast("long")
+        n9 = (star * disconn).cast("long")
+        n10 = (tri * disconn).cast("long")
+    return c.select(
+        tri.alias("t_tri"),
+        star.alias("t_star"),
+        disconn.cast(big).alias("t_disc"),
+        F.col("cliq").alias("t_cliq"),
+        F.col("cyc").alias("t_cyc"),
+        n1.alias("n1"),
+        (star * (star - 1) / 2).cast("long").alias("n2"),
+        (tri * (tri - 1) / 2).cast("long").alias("n3"),
+        (tri * star).cast("long").alias("n4"),
+        (rv * ru).cast("long").alias("n5"),
+        ((rv * (rv - 1) / 2) + (ru * (ru - 1) / 2)).cast("long").alias("n6"),
+        (F.lit(m) - dv - du + 1).cast("long").alias("n7"),
+        n8.alias("n8"),
+        n9.alias("n9"),
+        n10.alias("n10"),
+    )
+
+
 def macro_counts(
     g: Graph,
     strategy: str = "auto",
     counts: DataFrame | None = None,
+    force_decimal: bool = False,
 ) -> dict:
     """All 17 graphlet totals + wedges/global_cc, exact.
 
@@ -279,31 +326,11 @@ def macro_counts(
     n = g.num_vertices()
     m = g.num_edges()
     c = counts if counts is not None else edge_graphlet_counts(g, strategy)
-    tri, dv, du = F.col("tri"), F.col("deg_v"), F.col("deg_u")
-    star = (dv - tri - 1) + (du - tri - 1)
-    disconn = F.lit(n) - (star + tri) - 2
-    rv, ru = dv - tri - 1, du - tri - 1
     # decimal sums are only needed when Σ over m edges of ~n²-sized
     # terms can overflow int64; below that bound plain longs keep the
     # aggregation inside whole-stage codegen (decimal agg is ~3× slower)
-    big = _DEC if n * n * m >= (1 << 62) else "long"
-    terms = c.select(
-        tri.alias("t_tri"),
-        star.alias("t_star"),
-        disconn.cast(big).alias("t_disc"),
-        F.col("cliq").alias("t_cliq"),
-        F.col("cyc").alias("t_cyc"),
-        ((tri + star) * (tri + star - 1) / 2).cast(big).alias("n1"),
-        (star * (star - 1) / 2).cast("long").alias("n2"),
-        (tri * (tri - 1) / 2).cast("long").alias("n3"),
-        (tri * star).cast("long").alias("n4"),
-        (rv * ru).cast("long").alias("n5"),
-        ((rv * (rv - 1) / 2) + (ru * (ru - 1) / 2)).cast("long").alias("n6"),
-        (F.lit(m) - dv - du + 1).cast("long").alias("n7"),
-        (disconn * (disconn - 1) / 2).cast(big).alias("n8"),
-        (star * disconn).cast(big).alias("n9"),
-        (tri * disconn).cast(big).alias("n10"),
-    )
+    big = _DEC if (force_decimal or n * n * m >= (1 << 62)) else "long"
+    terms = _macro_terms(c, n, m, big)
     row = terms.agg(*[F.sum(col).alias(col) for col in terms.columns]).first()
     s = {k: int(row[k] or 0) for k in terms.columns}
 

@@ -28,6 +28,7 @@ def kcore(g: Graph, max_iter: int = 100) -> DataFrame:
     edges = g.symmetric()
     labels = g.degrees().select("v", F.col("degree").cast("long").alias("core"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nbr_vals = (
             labels.join(edges, "v")
@@ -52,7 +53,16 @@ def kcore(g: Graph, max_iter: int = 100) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # the h-index wavefront advances one hop per round: exhausting
+        # max_iter on a high-diameter graph silently returns cores that
+        # are upper bounds, not the true coreness — fail loudly instead
+        raise RuntimeError(
+            f"kcore did not converge within max_iter={max_iter}; "
+            "raise max_iter (rounds needed grow with graph diameter)"
+        )
     return labels
 
 

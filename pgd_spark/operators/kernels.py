@@ -137,7 +137,7 @@ def _oriented_state(src: np.ndarray, dst: np.ndarray):
 _STATE_NAMES = ["uniq", "indptr", "indices", "ov", "ou", "deg"]
 
 
-def _shared_state(token: str, bc_edges):
+def _shared_state(token: str, bc_edges, wait_secs: float = 60.0):
     """Build-once-per-MACHINE CSR state, mmap'd read-only by every
     worker process.
 
@@ -175,10 +175,17 @@ def _shared_state(token: str, bc_edges):
                 f.write("ok")
             return state
         except FileExistsError:
-            for _ in range(600):
+            for _ in range(max(int(wait_secs / 0.1), 1)):
                 if os.path.exists(done):
                     break
                 _time.sleep(0.1)
+            else:
+                # builder still running after 60s (huge graph) or died
+                # holding the lock: build privately from the broadcast —
+                # correct, just loses the shared-pages optimization for
+                # this worker.  Never np.load() without the done marker.
+                src, dst = bc_edges.value
+                return _oriented_state(src, dst)
     return tuple(
         np.load(f"{base}.{name}.npy", mmap_mode="r") for name in _STATE_NAMES
     )

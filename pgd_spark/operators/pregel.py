@@ -78,14 +78,25 @@ def pagerank(
 ) -> DataFrame:
     """Power-iteration PageRank on the undirected graph (each edge acts
     in both directions).  Matches networkx.pagerank semantics: start
-    uniform 1/n, per-iteration L1 error < n*tol stops.  Returns
-    [v, rank] with Σrank = 1.
+    uniform 1/n, L1 error < n*tol stops.  Returns [v, rank] with
+    Σrank = 1.
 
     Scale: ranks (n rows) join edges (2m rows) then groupBy(dst) —
     the canonical shuffle pair.  Degrees are precomputed once; the
     rank/degree quotient ships through the shuffle (skew on hub dst
     vertices is AQE-split).  No dangling mass exists on a symmetrized
     simple graph (every vertex has degree ≥ 1).
+
+    Job economy: iterations chain LAZILY and materialize only every
+    ``checkpoint_interval`` iterations (or every iteration when
+    ``checkpoint_dir`` makes per-iteration durability the point), so k
+    iterations cost ONE lineage-cut job plus one tiny L1-delta job
+    instead of 2k driver-synchronous jobs — on one box the per-job
+    scheduler/shuffle-round latency floor dominated iteration cost.
+    Convergence is therefore detected at cut boundaries: the k-step L1
+    delta upper-bounds the single-step delta, so the loop never stops
+    EARLIER than a per-iteration check would — it may run up to k-1
+    extra iterations past true convergence (documented overshoot).
     """
     spark = g.spark
     n = g.num_vertices()
@@ -114,6 +125,9 @@ def pagerank(
         start_it = -1
 
     base = 1.0 - alpha
+    k = max(checkpoint_interval, 1)
+    prev_cut = ranks  # state at the last materialization (L1-delta base)
+    converged = tol <= 0
     for it in range(start_it + 1, max_iter):
         t0 = time.time()
         contribs = (
@@ -125,29 +139,32 @@ def pagerank(
             "v",
             (F.lit(base / n) + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
         )
-        # lineage cut: every iteration when resumable (durable state is
-        # the point), else every checkpoint_interval iterations — a
-        # bounded-depth plan is fine and saves one materialization/job
         last = it == max_iter - 1
-        if checkpoint_dir or it % max(checkpoint_interval, 1) == 0 or last or tol > 0:
+        cut = bool(checkpoint_dir) or last or (it - start_it) % k == k - 1
+        err = None
+        if cut:
             new_ranks = _cut_lineage(new_ranks, checkpoint_dir, "pagerank", it, log)
-        if tol > 0:
-            err = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "v")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("e"))
-                .first()["e"]
-            )
-        else:
-            err = float("inf")  # fixed-iteration mode: no convergence job
-        log.add(
-            algo="pagerank",
-            iter=it,
-            l1_delta=(float(err) if err != float("inf") else None),
-            seconds=time.time() - t0,
-        )
+            if tol > 0:
+                err = float(
+                    new_ranks.join(prev_cut.withColumnRenamed("rank", "old"), "v")
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("e"))
+                    .first()["e"]
+                )
+            prev_cut = new_ranks
+        log.add(algo="pagerank", iter=it, l1_delta=err, seconds=time.time() - t0)
         ranks = new_ranks
-        if err < n * tol:
+        if err is not None and err < n * tol:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"pagerank did not reach tol={tol} within max_iter={max_iter} "
+            "(returning the last iterate)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return ranks
 
 
@@ -201,8 +218,16 @@ def connected_components(
         log.add(algo="cc", iter=it, changed=int(changed), seconds=time.time() - t0)
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # hashmin propagates min labels one hop per round: exhausting
+    # max_iter on a graph with diameter > max_iter returns WRONG labels
+    # — fail loudly (use algorithm="two_phase" for high-diameter graphs,
+    # it converges in O(log n) rounds regardless of diameter).
+    raise RuntimeError(
+        f"connected_components(hashmin) did not converge in max_iter={max_iter} "
+        "rounds; the graph diameter exceeds max_iter — raise it or use "
+        "algorithm='two_phase'"
+    )
 
 
 def _cc_two_phase(
@@ -278,6 +303,11 @@ def _cc_two_phase(
         prev = cur
         if converged:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components(two_phase) did not converge in max_iter={max_iter} "
+            "rounds (expected O(log n)); raise max_iter"
+        )
     # star forest: b is the child side after small-star? edges are
     # canonical (a<b) with a = root candidate; component = min side.
     labels = edges.select(F.col("b").alias("v"), F.col("a").alias("component"))
@@ -298,7 +328,13 @@ def label_propagation(
     """Synchronous LPA, fully deterministic: every vertex adopts the
     most frequent label among its neighbors; ties break to the SMALLEST
     label.  Fixed-round (max_iter) with early stop on fixpoint.
-    Returns [v, label]."""
+    Returns [v, label].
+
+    Unlike CC/kcore, finishing all max_iter rounds is NOT an error:
+    synchronous LPA can 2-cycle on bipartite-ish structure, so the
+    fixed round count IS the semantic (the standard practice) — the
+    result is "labels after max_iter rounds", deterministic either way.
+    """
     spark = g.spark
     edges = g.symmetric()
     log = log if log is not None else IterationLog()

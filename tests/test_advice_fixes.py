@@ -1,0 +1,152 @@
+"""Regression tests for the round-1 review findings (ADVICE.md):
+
+1. decimal macro path must be EXACT (no double promotion inside the
+   N1/N8/N9/N10 terms) in the large-n regime it exists for;
+2. kcore / hashmin-CC raise on max_iter exhaustion instead of silently
+   returning non-converged (wrong) results;
+3. _shared_state waiters fall back to a private build after the wait
+   budget instead of np.load()-ing files that may not exist;
+4. zero-norm embeddings must not rank first in cosine top-k (NaN sorts
+   above every double in Spark);
+5. ngram_jaccard max_postings is a no-op when no posting list exceeds
+   it, and genuinely bounds hot shingles when one does.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_graph
+
+
+# ------------------------------------------------------------- decimal macro
+def test_macro_terms_decimal_exact_at_large_n(spark):
+    """disconn ~ 3e9 puts disconn*(disconn-1)/2 at ~4.5e18 — above the
+    53-bit double mantissa, where the old long->double->decimal chain
+    rounded.  The decimal path must reproduce the exact Python int."""
+    from pgd_spark.operators.graphlets import _DEC, _macro_terms
+
+    n, m = 3_000_000_003, 10
+    # one degree-oriented edge row: tri=1, star=2, so
+    # disconn = n - 3 - 2 = 2_999_999_998
+    c = spark.createDataFrame(
+        [(1, 2, 3, 3, 1, 0, 0)],
+        "v long, u long, deg_v long, deg_u long, tri long, cliq long, cyc long",
+    )
+    row = _macro_terms(c, n, m, _DEC).first()
+    tri, star = 1, (3 - 1 - 1) + (3 - 1 - 1)
+    disconn = n - (star + tri) - 2
+    assert int(row["n8"]) == disconn * (disconn - 1) // 2
+    assert int(row["n9"]) == star * disconn
+    assert int(row["n10"]) == tri * disconn
+    ts = tri + star
+    assert int(row["n1"]) == ts * (ts - 1) // 2
+    # sanity: the value really is beyond double precision
+    assert float(disconn * (disconn - 1) // 2) != disconn * (disconn - 1) // 2
+
+
+def test_macro_counts_decimal_branch_equals_long_branch(spark):
+    from pgd_spark.operators.graphlets import MACRO_KEYS, macro_counts
+
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 0), (1, 4)])
+    t_long = macro_counts(g, strategy="broadcast")
+    t_dec = macro_counts(g, strategy="broadcast", force_decimal=True)
+    for k in MACRO_KEYS:
+        assert t_long[k] == t_dec[k], k
+
+
+# ------------------------------------------------------- convergence guards
+def path_graph(k):
+    return [(i, i + 1) for i in range(k)]
+
+
+def test_kcore_raises_on_max_iter_exhaustion(spark):
+    from pgd_spark.operators.kcore import kcore
+
+    g = make_graph(spark, path_graph(12))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(g, max_iter=2)
+    # ample budget: converges, path coreness is 1 everywhere
+    cores = {r["v"]: r["core"] for r in kcore(g, max_iter=50).collect()}
+    assert set(cores.values()) == {1}
+
+
+def test_hashmin_cc_raises_on_max_iter_exhaustion(spark):
+    from pgd_spark.operators.pregel import connected_components
+
+    g = make_graph(spark, path_graph(12))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(g, max_iter=3)
+    labels = {
+        r["v"]: r["component"] for r in connected_components(g, max_iter=50).collect()
+    }
+    assert set(labels.values()) == {0}
+
+
+def test_pagerank_warns_on_non_convergence(spark):
+    from pgd_spark.operators.pregel import pagerank
+
+    g = make_graph(spark, path_graph(8))
+    with pytest.warns(RuntimeWarning, match="did not reach tol"):
+        pagerank(g, tol=1e-12, max_iter=2)
+
+
+# ------------------------------------------------------ shared-state fallback
+def test_shared_state_falls_back_after_wait_timeout(tmp_path):
+    import pgd_spark.operators.kernels as K
+
+    class FakeBC:
+        value = (
+            np.array([0, 0, 1], dtype=np.int64),
+            np.array([1, 2, 2], dtype=np.int64),
+        )
+
+    token = "testlockstale"
+    import os
+
+    base = os.path.join(
+        "/dev/shm" if os.path.isdir("/dev/shm") else str(tmp_path), f"pgd_csr_{token}"
+    )
+    os.makedirs(base + ".lock", exist_ok=True)  # stale lock, no .done
+    try:
+        state = K._shared_state(token, FakeBC(), wait_secs=0.3)
+        uniq, indptr, indices, ov, ou, deg = state
+        assert list(uniq) == [0, 1, 2]
+        assert list(deg) == [2, 2, 2]
+    finally:
+        os.rmdir(base + ".lock")
+
+
+# ------------------------------------------------------------ zero-norm guard
+def test_cosine_topk_zero_vector_never_ranks_first(spark):
+    from pgd_spark.functions.similarity import cosine_topk
+
+    items = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero norm: NaN without the guard
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<float>")
+    rows = cosine_topk(items, queries, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [1, 2, 3]
+    assert rows[-1]["sim"] == -1.0
+
+
+# ----------------------------------------------------------- max_postings
+def test_ngram_jaccard_max_postings_guard(spark):
+    from pgd_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over") for i in range(12)],
+        "doc_id long, text string",
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    capped_noop = ngram_jaccard_pairs(docs, threshold=0.5, max_postings=100).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, capped_noop))
+    # a cap below the corpus-wide shingle frequency actually drops work:
+    # every shingle here occurs in >=4 docs, so postings empty out
+    capped_tight = ngram_jaccard_pairs(docs, threshold=0.5, max_postings=3).collect()
+    assert len(capped_tight) < len(exact)

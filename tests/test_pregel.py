@@ -108,11 +108,16 @@ def test_pagerank_resume_from_checkpoint(spark, tmp_path):
     edges = gnp(25, 0.2, 11)
     g = make_graph(spark, edges)
     ckpt = str(tmp_path / "ck")
-    # phase 1: stop early (simulates a killed run)
-    pagerank(g, max_iter=3, checkpoint_dir=ckpt)
-    # phase 2: resume to convergence
-    resumed = {r["v"]: r["rank"] for r in pagerank(g, checkpoint_dir=ckpt).collect()}
-    fresh = {r["v"]: r["rank"] for r in pagerank(g).collect()}
+    # phase 1: stop early (simulates a killed run); tol=0 = fixed-iter
+    # mode so resume identity isn't coupled to where the k-batched
+    # convergence check happens to land
+    pagerank(g, max_iter=3, checkpoint_dir=ckpt, tol=0.0)
+    # phase 2: resume to the same fixed horizon as a fresh run
+    resumed = {
+        r["v"]: r["rank"]
+        for r in pagerank(g, max_iter=10, tol=0.0, checkpoint_dir=ckpt).collect()
+    }
+    fresh = {r["v"]: r["rank"] for r in pagerank(g, max_iter=10, tol=0.0).collect()}
     for v in fresh:
         assert resumed[v] == pytest.approx(fresh[v], abs=1e-9)
 
