@@ -114,6 +114,105 @@ def edge_counts_batch(
     return tri_out, cliq_out, cyc_out
 
 
+# ---------------------------------------------------- vectorized kernel
+# dense adjacency bitmap up to this vertex count (n=32768 → 128 MB,
+# shared per machine via the mmap state); beyond it, membership testing
+# falls back to binary search over packed (lo*n+hi) edge keys.
+BITMAP_MAX_N = 32768
+
+# measured crossover (see tests/test_kernels_vec.py rationale): the
+# whole-batch vectorized kernel wins 5-13x on sparse graphs, where the
+# per-edge loop drowns in numpy-call overhead on tiny neighbor slices;
+# the loop wins ≥2x once slices are large enough to amortize that
+# overhead L1-resident while the vectorized path streams wide DRAM
+# temporaries.  Average degree is the discriminator.
+VEC_MAX_AVG_DEG = 10.0
+
+
+def _adjacency_membership(n: int, adjbm: np.ndarray, ekeys_pad: np.ndarray):
+    """Vectorized adjacency test (a[i], b[i]) ∈ E — the batched analog
+    of the reference's perfect-hash mark lookup (cpp:1069-1088)."""
+    if len(adjbm):
+
+        def member(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            key = a * n + b  # bitmap stores both orders: no min/max
+            return ((adjbm[key >> 3] >> (key & 7)) & 1).astype(bool)
+
+    else:
+
+        def member(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            kq = np.minimum(a, b) * n + np.maximum(a, b)
+            pos = np.searchsorted(ekeys_pad[:-1], kq)
+            return ekeys_pad[pos] == kq
+
+    return member
+
+
+def _volume_chunks(eids: np.ndarray, verts: np.ndarray, indptr: np.ndarray, max_vol: int):
+    """Split (eid, vert) pair lists so each chunk's Σdeg(vert) ≤ max_vol
+    (bounds the flat-gather temporaries on dense graphs)."""
+    if len(verts) == 0:
+        return
+    lens = (indptr[verts + 1] - indptr[verts]).astype(np.int64)
+    cum = np.cumsum(lens)
+    start = 0
+    while start < len(verts):
+        base = cum[start - 1] if start else 0
+        end = int(np.searchsorted(cum, base + max_vol, side="right"))
+        end = max(end, start + 1)  # always progress, even past a mega-hub
+        yield eids[start:end], verts[start:end], lens[start:end]
+        start = end
+
+
+def edge_counts_batch_vec(
+    v_arr: np.ndarray,
+    u_arr: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    n: int,
+    member,
+    max_vol: int = 4_000_000,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch vectorized (tri, cliq, cyc): identical semantics to
+    ``edge_counts_batch`` with zero per-edge Python overhead.
+
+    Pass 1 gathers N(v) for every edge at once; membership against
+    N(u) classifies each neighbor as triangle node (T) or v-side wedge
+    node (Wv).  Passes 2/3 gather the neighbors of all T / Wv nodes
+    (volume-chunked) and count adjacency back into T / into Wu with two
+    membership tests per element — the same work the reference does
+    per-edge with O(1) marks, batched."""
+    k = len(v_arr)
+    deg_v = (indptr[v_arr + 1] - indptr[v_arr]).astype(np.int64)
+    eid1 = np.repeat(np.arange(k, dtype=np.int64), deg_v)
+    w1 = _multi_slice_gather(indptr, indices, v_arr)
+    u1 = u_arr[eid1]
+    in_e = member(w1, u1)  # w ∈ N(u); w == u is never adjacent to itself
+    tri_out = np.bincount(eid1[in_e], minlength=k).astype(np.int64)
+    cliq_out = np.zeros(k, dtype=np.int64)
+    cyc_out = np.zeros(k, dtype=np.int64)
+
+    # 4-cliques: for t ∈ T, count x ∈ N(t) with x ∈ T (ordered / 2)
+    for eids_c, verts_c, lens_c in _volume_chunks(eid1[in_e], w1[in_e], indptr, max_vol):
+        x = _multi_slice_gather(indptr, indices, verts_c)
+        eid2 = np.repeat(eids_c, lens_c)
+        hit = member(x, v_arr[eid2]) & member(x, u_arr[eid2])
+        if hit.any():
+            cliq_out += np.bincount(eid2[hit], minlength=k).astype(np.int64)
+    cliq_out //= 2
+
+    # 4-cycles: for w ∈ Wv = N(v)\N(u)\{u}, count x ∈ N(w) with
+    # x ∈ Wu = N(u)\N(v)\{v}
+    wv_mask = (~in_e) & (w1 != u1)
+    for eids_c, verts_c, lens_c in _volume_chunks(eid1[wv_mask], w1[wv_mask], indptr, max_vol):
+        x = _multi_slice_gather(indptr, indices, verts_c)
+        eid2 = np.repeat(eids_c, lens_c)
+        hit = member(x, u_arr[eid2]) & ~member(x, v_arr[eid2]) & (x != v_arr[eid2])
+        if hit.any():
+            cyc_out += np.bincount(eid2[hit], minlength=k).astype(np.int64)
+    return tri_out, cliq_out, cyc_out
+
+
 # per-worker CSR cache: python workers are reused across tasks, so the
 # CSR is built once per worker (in parallel across the cluster) instead
 # of once serially on the driver — the driver only broadcasts the raw
@@ -121,23 +220,38 @@ def edge_counts_batch(
 _CSR_CACHE: dict[str, tuple] = {}
 
 
-def _oriented_state(src: np.ndarray, dst: np.ndarray):
-    """CSR + degree-oriented dense edge arrays, built once per worker."""
+def _oriented_state(src: np.ndarray, dst: np.ndarray, need_member: bool = True):
+    """CSR + degree-oriented dense edge arrays + adjacency-membership
+    structures, built once per worker (or once per machine via
+    _shared_state).  ``need_member=False`` (loop kernel) skips the
+    bitmap/packed-key build — the loop's mark array needs neither."""
     uniq, indptr, indices = build_csr(src, dst)
     deg = indptr[1:] - indptr[:-1]
+    n = len(uniq)
     m = len(src)
     inv = np.searchsorted(uniq, np.concatenate([src, dst]))
     sd, dd = inv[:m], inv[m:]
     flip = (deg[dd] < deg[sd]) | ((deg[dd] == deg[sd]) & (dst < src))
     ov = np.where(flip, dd, sd)
     ou = np.where(flip, sd, dd)
-    return uniq, indptr, indices, ov, ou, deg
+    adjbm = np.zeros(0, dtype=np.uint8)
+    ekeys_pad = np.zeros(0, dtype=np.int64)
+    if need_member:
+        # packed canonical edge keys (sd < dd since the dense relabel is
+        # monotonic), sentinel-padded for branch-free searchsorted probes
+        ekeys = np.sort(sd * np.int64(n) + dd)
+        ekeys_pad = np.append(ekeys, np.int64(-1))
+        if n <= BITMAP_MAX_N:
+            adjbm = np.zeros((n * n + 7) // 8, dtype=np.uint8)
+            both = np.concatenate([sd * np.int64(n) + dd, dd * np.int64(n) + sd])
+            np.bitwise_or.at(adjbm, both >> 3, (1 << (both & 7)).astype(np.uint8))
+    return uniq, indptr, indices, ov, ou, deg, adjbm, ekeys_pad
 
 
-_STATE_NAMES = ["uniq", "indptr", "indices", "ov", "ou", "deg"]
+_STATE_NAMES = ["uniq", "indptr", "indices", "ov", "ou", "deg", "adjbm", "ekeys_pad"]
 
 
-def _shared_state(token: str, bc_edges, wait_secs: float = 60.0):
+def _shared_state(token: str, bc_edges, wait_secs: float = 60.0, need_member: bool = True):
     """Build-once-per-MACHINE CSR state, mmap'd read-only by every
     worker process.
 
@@ -168,7 +282,7 @@ def _shared_state(token: str, bc_edges, wait_secs: float = 60.0):
                 except OSError:
                     pass
             src, dst = bc_edges.value
-            state = _oriented_state(src, dst)
+            state = _oriented_state(src, dst, need_member)
             for name, arr in zip(_STATE_NAMES, state):
                 np.save(f"{base}.{name}.npy", arr)
             with open(done, "w") as f:
@@ -185,19 +299,25 @@ def _shared_state(token: str, bc_edges, wait_secs: float = 60.0):
                 # correct, just loses the shared-pages optimization for
                 # this worker.  Never np.load() without the done marker.
                 src, dst = bc_edges.value
-                return _oriented_state(src, dst)
+                return _oriented_state(src, dst, need_member)
     return tuple(
         np.load(f"{base}.{name}.npy", mmap_mode="r") for name in _STATE_NAMES
     )
 
 
-def make_range_kernel(bc_edges, sample: tuple[int, int, int] | None = None):
+def make_range_kernel(
+    bc_edges, sample: tuple[int, int, int] | None = None, impl: str = "vec"
+):
     """mapInPandas over ``spark.range(m)``: workers slice the broadcast
     edge arrays by row id — no edge data moves through a shuffle at all.
 
     ``sample`` = (denom, limit, seed): keep edge iff
     mix64(v,u,seed) % denom < limit (the approximate-census filter),
     evaluated in numpy before any kernel work.
+
+    ``impl``: "vec" (whole-batch vectorized — wins big on sparse
+    graphs) or "loop" (the per-edge mark kernel — wins on dense ones);
+    callers pick via VEC_MAX_AVG_DEG (see edge_graphlet_counts).
     """
     import uuid
 
@@ -206,11 +326,12 @@ def make_range_kernel(bc_edges, sample: tuple[int, int, int] | None = None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state = _CSR_CACHE.get(token)
         if state is None:
-            state = _shared_state(token, bc_edges)
+            state = _shared_state(token, bc_edges, need_member=(impl == "vec"))
             _CSR_CACHE.clear()
             _CSR_CACHE[token] = state
-        uniq, indptr, indices, ov, ou, deg = state
+        uniq, indptr, indices, ov, ou, deg, adjbm, ekeys_pad = state
         n = len(uniq)
+        member = _adjacency_membership(n, adjbm, ekeys_pad) if impl == "vec" else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -228,7 +349,10 @@ def make_range_kernel(bc_edges, sample: tuple[int, int, int] | None = None):
                 v, u = v[keep], u[keep]
                 if len(v) == 0:
                     continue
-            tri, cliq, cyc = edge_counts_batch(v, u, indptr, indices, n)
+            if impl == "vec":
+                tri, cliq, cyc = edge_counts_batch_vec(v, u, indptr, indices, n, member)
+            else:
+                tri, cliq, cyc = edge_counts_batch(v, u, indptr, indices, n)
             yield pd.DataFrame(
                 {
                     "v": uniq[v],

@@ -110,7 +110,7 @@ def test_shared_state_falls_back_after_wait_timeout(tmp_path):
     os.makedirs(base + ".lock", exist_ok=True)  # stale lock, no .done
     try:
         state = K._shared_state(token, FakeBC(), wait_secs=0.3)
-        uniq, indptr, indices, ov, ou, deg = state
+        uniq, indptr, indices, ov, ou, deg, adjbm, ekeys_pad = state
         assert list(uniq) == [0, 1, 2]
         assert list(deg) == [2, 2, 2]
     finally:
