@@ -40,6 +40,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # warmup (unmeasured): spin up python workers + codegen on a tiny
+    # graph so the timers below measure the operators, not JVM/process
+    # startup — same protocol as tools/scaling_bench.py
+    from pgd_spark.sources.synthetic import random_graph
+
+    macro_counts(random_graph(spark, 2000, 20000), strategy="broadcast")
+    macro_counts(random_graph(spark, 500, 3000), strategy="distributed")
+
     def timed(name):
         class _T:
             def __enter__(self):
@@ -67,7 +75,18 @@ def main() -> None:
     extras["total_3_tris"] = totals["total_3_tris"]
     extras["total_4_clique"] = totals["total_4_clique"]
 
-    # 3. triangles via the pure-JVM distributed path (scale plan)
+    # 3. full census via the fully distributed Catalyst path — the
+    # strategy that runs when the graph exceeds single-executor
+    # broadcast capacity; verified total-equal to the kernel path
+    with timed("census_distributed"):
+        cd = edge_graphlet_counts(g, strategy="distributed").persist()
+        td = macro_counts(g, counts=cd)
+        cd.unpersist()
+    assert td["total_3_tris"] == totals["total_3_tris"]
+    assert td["total_4_clique"] == totals["total_4_clique"]
+    extras["census_distributed_edges_per_sec"] = round(m / timings["census_distributed"], 1)
+
+    # 4. triangles via the pure-JVM distributed path (scale plan)
     with timed("triangles_distributed"):
         adj = g.adjacency()
         ori = g.oriented()
@@ -80,7 +99,7 @@ def main() -> None:
         )
     assert tri_sum == 3 * totals["total_3_tris"]
 
-    # 4. PageRank, fixed 20 iterations (iterations/sec headline; the
+    # 5. PageRank, fixed 20 iterations (iterations/sec headline; the
     # co-purchase graph is near-regular and converges in ~2 iters at
     # 1e-6, which would measure startup, not iteration throughput)
     with timed("pagerank"):
@@ -90,12 +109,12 @@ def main() -> None:
     extras["pagerank_iters"] = iters
     extras["pagerank_iters_per_sec"] = round(iters / timings["pagerank"], 3)
 
-    # 5. connected components
+    # 6. connected components
     with timed("connected_components"):
         ncomp = connected_components(g).select("component").distinct().count()
     extras["n_components"] = ncomp
 
-    # 6. transcript pipeline: synthesize + derive at sf-scaled volume
+    # 7. transcript pipeline: synthesize + derive at sf-scaled volume
     with timed("transcript_derive"):
         n_conv = max(2000, int(float(sf) * 2_000_000)) if sf.replace(".", "").isdigit() else 2000
         tr = generate_transcripts(spark, n_conv)
@@ -106,12 +125,12 @@ def main() -> None:
         extras["transcript_turns"] / timings["transcript_derive"], 1
     )
 
-    # 7. corpus dedup (MinHash LSH + exact verify)
+    # 8. corpus dedup (MinHash LSH + exact verify)
     with timed("minhash_dedup"):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         extras["minhash_pairs"] = minhash_dedup(docs, threshold=0.75).count()
 
-    # 8. embedding brute-force cosine top-k
+    # 9. embedding brute-force cosine top-k
     with timed("cosine_topk"):
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = embs.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")

@@ -50,6 +50,11 @@ class Graph:
         self._oriented: DataFrame | None = None
         self._n: int | None = None
         self._m: int | None = None
+        # file-order lineage, set by readers with track_lineage=True:
+        # lineage = [src, dst, first_row]; fa_map = [orig, id] (the
+        # reference's first-appearance dense ids, cpp:393-403)
+        self.lineage: DataFrame | None = None
+        self.fa_map: DataFrame | None = None
 
     # -- constructors -------------------------------------------------
     @classmethod
@@ -69,14 +74,19 @@ class Graph:
     @classmethod
     def from_csr(cls, spark, indptr, indices) -> "Graph":
         """CSR arrays → Graph (the reference's CSR ctor analog,
-        graphlet_core.cpp:127-143).  Accepts numpy arrays or lists."""
-        pairs = []
-        for v in range(len(indptr) - 1):
-            for j in range(int(indptr[v]), int(indptr[v + 1])):
-                w = int(indices[j])
-                if v < w:
-                    pairs.append((v, w))
-        return cls.from_pairs(spark, pairs)
+        graphlet_core.cpp:127-143).  Accepts numpy arrays or lists;
+        vectorized expansion (no per-edge Python loop)."""
+        import numpy as np
+        import pandas as pd
+
+        indptr = np.asarray(indptr, dtype=np.int64)
+        indices = np.asarray(indices, dtype=np.int64)
+        heads = np.repeat(np.arange(len(indptr) - 1, dtype=np.int64), np.diff(indptr))
+        keep = heads < indices  # one direction; normalization dedups anyway
+        pdf = pd.DataFrame({"src": heads[keep], "dst": indices[keep]})
+        if len(pdf) == 0:
+            return cls.from_pairs(spark, [])
+        return cls.from_edges(spark.createDataFrame(pdf))
 
     # -- basic derived tables -----------------------------------------
     def symmetric(self) -> DataFrame:
@@ -92,22 +102,50 @@ class Graph:
             self._degrees = self.symmetric().groupBy("v").agg(F.count("*").alias("degree")).cache()
         return self._degrees
 
-    def adjacency(self) -> DataFrame:
-        """[v, nbrs: array<long> sorted asc] — CSR rows; cached.
+    def adjacency(self, order: str = "id") -> DataFrame:
+        """[v, nbrs: array<long>] — CSR rows; cached per ordering.
 
-        The sorted arrays are the Spark analog of PGD's CSR neighbor
-        slices (graphlet_core.h:84-86); sorting enables merge/hash
-        intersection both JVM-side (array_intersect) and in numpy
-        kernels (searchsorted).
+        ``order="id"`` (default): neighbors sorted ascending — the
+        engine's canonical form (enables merge/hash intersection
+        JVM-side and searchsorted in the numpy kernels).
+
+        ``order="degree"`` / ``order="kcore"``: neighbors sorted by the
+        metric DESCENDING (ties by id) — parity with the reference's
+        neighbor-ordering strategies (order_vertex_neighbors,
+        cpp:1846-1953; default deg, largest-to-smallest).  Pure
+        scheduling/locality feature there: zero effect on any counts.
         """
-        if self._adjacency is None:
-            self._adjacency = (
-                self.symmetric()
-                .groupBy("v")
-                .agg(F.array_sort(F.collect_list("w")).alias("nbrs"))
-                .cache()
+        if order == "id":
+            if self._adjacency is None:
+                self._adjacency = (
+                    self.symmetric()
+                    .groupBy("v")
+                    .agg(F.array_sort(F.collect_list("w")).alias("nbrs"))
+                    .cache()
+                )
+            return self._adjacency
+        if order == "degree":
+            metric = self.degrees().select("v", F.col("degree").alias("_m"))
+        elif order == "kcore":
+            from pgd_spark.operators.kcore import kcore
+
+            metric = kcore(self).select("v", F.col("core").alias("_m"))
+        else:
+            raise ValueError(f"unknown neighbor order {order!r}")
+        m2 = metric.select(F.col("v").alias("w"), F.col("_m"))
+        return (
+            self.symmetric()
+            .join(m2, "w")
+            .groupBy("v")
+            .agg(
+                F.transform(
+                    F.reverse(
+                        F.array_sort(F.collect_list(F.struct(F.col("_m"), F.col("w"))))
+                    ),
+                    lambda s: s["w"],
+                ).alias("nbrs")
             )
-        return self._adjacency
+        )
 
     def oriented(self) -> DataFrame:
         """Degree-oriented edges [v, u, deg_v, deg_u] with
@@ -155,16 +193,35 @@ class Graph:
         n, m = self.num_vertices(), self.num_edges()
         return 0.0 if n < 2 else 2.0 * m / (n * (n - 1))
 
-    # -- id densification (PGD relabels ids densely by first appearance;
-    #    we relabel deterministically by sorted original id) -----------
-    def densify(self) -> tuple["Graph", DataFrame]:
-        """Returns (graph with ids 0..n-1, mapping [orig, id])."""
+    # -- id densification --------------------------------------------
+    def densify(self, order: str = "sorted") -> tuple["Graph", DataFrame]:
+        """Returns (graph with ids 0..n-1, mapping [orig, id]).
+
+        ``order="sorted"``            — deterministic relabel by sorted
+                                        original id (works on any Graph).
+        ``order="first_appearance"``  — the reference's relabel
+                                        (cpp:393-403): next dense id on
+                                        first sight in file order, src
+                                        before dst per row.  Requires a
+                                        reader-attached ``fa_map``
+                                        (track_lineage=True).
+        """
         from pyspark.sql import Window
 
-        verts = self.symmetric().select(F.col("v").alias("orig")).distinct()
-        mapping = verts.withColumn(
-            "id", F.row_number().over(Window.orderBy("orig")) - F.lit(1)
-        )
+        if order == "first_appearance":
+            if self.fa_map is None:
+                raise ValueError(
+                    "first_appearance densify needs file lineage: read the "
+                    "graph with track_lineage=True"
+                )
+            mapping = self.fa_map
+        elif order == "sorted":
+            verts = self.symmetric().select(F.col("v").alias("orig")).distinct()
+            mapping = verts.withColumn(
+                "id", F.row_number().over(Window.orderBy("orig")) - F.lit(1)
+            )
+        else:
+            raise ValueError(f"unknown densify order {order!r}")
         e = (
             self.edges.join(mapping.withColumnRenamed("orig", SRC), SRC)
             .withColumnRenamed("id", "src_id")

@@ -43,6 +43,8 @@ def edge_graphlet_counts(
     broadcast_max_edges: int = 5_000_000,
     edge_predicate=None,
     kernel_impl: str = "auto",
+    distributed_salt: int = 8,
+    distributed_hot_threshold: int | None = None,
 ) -> DataFrame:
     """Per-edge raw kernel counts [v,u,deg_v,deg_u,tri,cliq,cyc].
 
@@ -65,7 +67,12 @@ def edge_graphlet_counts(
     if strategy == "broadcast":
         return _edge_counts_broadcast(g, edge_predicate, impl=kernel_impl)
     if strategy == "distributed":
-        return _edge_counts_distributed(g, edge_predicate)
+        return _edge_counts_distributed(
+            g,
+            edge_predicate,
+            salt=distributed_salt,
+            hot_degree_threshold=distributed_hot_threshold,
+        )
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -108,16 +115,54 @@ def _edge_counts_broadcast(
 
 
 # -------------------------------------------------------------- distributed
-def _edge_counts_distributed(g: Graph, edge_predicate=None) -> DataFrame:
+def _edge_counts_distributed(
+    g: Graph,
+    edge_predicate=None,
+    salt: int = 8,
+    hot_degree_threshold: int | None = None,
+) -> DataFrame:
+    """Pure-Catalyst per-edge kernel, skew-defended for web-scale runs.
+
+    * triangles: adjacency-array joins + array_intersect (degree
+      orientation bounds the carried small-side arrays).
+    * 4-cliques: TRIANGLE-PAIR ENUMERATION — explode the unordered
+      pairs within each edge's triangle-node set and equi-join against
+      the edge table itself.  Join keys are edge keys (near-uniform),
+      so hub VERTICES create no hot reducer here at all, and for
+      sparse graphs Σ tri² pair volume beats Σ_{t∈T} deg(t) gathers.
+    * 4-cycles: wedge-node explode joined against adjacency on the
+      wedge vertex — the one join keyed by a vertex, where a celebrity
+      vertex lands every exploded row on one reducer; hot keys
+      (degree > hot_degree_threshold, default: rows whose adjacency
+      alone exceeds a reducer's fair share) are spread over ``salt``
+      reducers via plans.skew.salted_join.
+
+    Remaining hub limit (documented): the BASE adjacency join carries
+    one array row per vertex, so a vertex with degree ≫ 10^8 would
+    produce an oversized row there; per-edge work is already bounded
+    by the smaller endpoint via degree orientation.
+    """
+    from pgd_spark.plans.skew import salted_join, top_degree_vertices
+
     adj = g.adjacency()
     ori = g.oriented()
     if edge_predicate is not None:
         ori = ori.filter(edge_predicate)
 
+    # SHUFFLE_HASH on the adjacency sides: adjacency (n rows) is always
+    # the hash-build side; sort-merge would sort the m-row edge stream
+    # (and later the exploded wedge stream) for no benefit once
+    # adjacency outgrows the broadcast threshold.
     base = (
-        ori.join(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")), ori.v == F.col("_v"))
+        ori.join(
+            adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")).hint("SHUFFLE_HASH"),
+            ori.v == F.col("_v"),
+        )
         .drop("_v")
-        .join(adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu")), ori.u == F.col("_u"))
+        .join(
+            adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu")).hint("SHUFFLE_HASH"),
+            ori.u == F.col("_u"),
+        )
         .drop("_u")
         .select(
             "v",
@@ -134,25 +179,38 @@ def _edge_counts_distributed(g: Graph, edge_predicate=None) -> DataFrame:
     )
     base = base.persist()
 
-    adj_w = adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw"))
-
-    # 4-cliques: explode triangle nodes, count adjacency back into the
-    # triangle-node set; ordered pairs / 2.
-    cliq = (
+    # 4-cliques: unordered pairs within the triangle-node set that are
+    # themselves edges.  tri_arr is sorted (array_intersect of sorted
+    # inputs), so a < b pairs match canonical (src < dst) edge keys.
+    tri_pairs = (
         base.filter(F.col("tri") >= 2)
-        .select("v", "u", "tri_arr", F.explode("tri_arr").alias("w"))
-        .join(adj_w, "w")
-        .select("v", "u", F.size(F.array_intersect("nw", "tri_arr")).alias("hits"))
+        .select("v", "u", F.explode("tri_arr").alias("a"), F.col("tri_arr"))
+        .select("v", "u", "a", F.explode("tri_arr").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    cliq = (
+        tri_pairs.join(
+            g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).hint(
+                "SHUFFLE_HASH"
+            ),
+            ["a", "b"],
+        )
         .groupBy("v", "u")
-        .agg((F.sum("hits") / 2).cast("long").alias("cliq"))
+        .agg(F.count("*").cast("long").alias("cliq"))
     )
 
     # 4-cycles: explode wedge nodes (u side), count adjacency into the
-    # v-only side.
+    # v-only side; hot wedge vertices are salt-spread.
+    if hot_degree_threshold is None:
+        npart = int(g.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        hot_degree_threshold = max(256, (2 * g.num_edges()) // max(npart, 1))
+    hot = top_degree_vertices(g, hot_degree_threshold)
+    adj_w = adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw"))
+    wedge_rows = base.filter((F.size("wu") > 0) & (F.size("wv") > 0)).select(
+        "v", "u", "wv", F.explode("wu").alias("w")
+    )
     cyc = (
-        base.filter((F.size("wu") > 0) & (F.size("wv") > 0))
-        .select("v", "u", "wv", F.explode("wu").alias("w"))
-        .join(adj_w, "w")
+        salted_join(wedge_rows, adj_w, "w", hot, salt=salt, small_hint="SHUFFLE_HASH")
         .select("v", "u", F.size(F.array_intersect("nw", "wv")).alias("hits"))
         .groupBy("v", "u")
         .agg(F.sum("hits").cast("long").alias("cyc"))

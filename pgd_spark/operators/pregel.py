@@ -34,6 +34,22 @@ class IterationLog:
         self.entries.append(kw)
 
 
+def _nonconverged(what: str, max_iter: int, resumable: bool) -> None:
+    """max_iter exhaustion policy: RAISE when the result would silently
+    be wrong (no durable state, caller gets a non-converged answer);
+    WARN when a checkpoint_dir makes budgeted-run-then-resume the
+    intended workflow."""
+    msg = (
+        f"{what} did not converge within max_iter={max_iter}; "
+        "the returned labels are a non-converged snapshot"
+    )
+    if not resumable:
+        raise RuntimeError(msg + " — raise max_iter")
+    import warnings
+
+    warnings.warn(msg + " (resume from the checkpoint to continue)", RuntimeWarning, stacklevel=3)
+
+
 def _cut_lineage(df: DataFrame, checkpoint_dir: str | None, algo: str, it: int,
                  log: IterationLog | None = None) -> DataFrame:
     """Materialize per-iteration state; parquet when resumable, else local."""
@@ -222,12 +238,11 @@ def connected_components(
     # hashmin propagates min labels one hop per round: exhausting
     # max_iter on a graph with diameter > max_iter returns WRONG labels
     # — fail loudly (use algorithm="two_phase" for high-diameter graphs,
-    # it converges in O(log n) rounds regardless of diameter).
-    raise RuntimeError(
-        f"connected_components(hashmin) did not converge in max_iter={max_iter} "
-        "rounds; the graph diameter exceeds max_iter — raise it or use "
-        "algorithm='two_phase'"
-    )
+    # it converges in O(log n) rounds regardless of diameter).  With a
+    # checkpoint_dir the budgeted-run-then-resume workflow is the
+    # point, so warn instead: state is durable and a resume continues.
+    _nonconverged("connected_components(hashmin)", max_iter, bool(checkpoint_dir))
+    return labels
 
 
 def _cc_two_phase(
@@ -304,10 +319,7 @@ def _cc_two_phase(
         if converged:
             break
     else:
-        raise RuntimeError(
-            f"connected_components(two_phase) did not converge in max_iter={max_iter} "
-            "rounds (expected O(log n)); raise max_iter"
-        )
+        _nonconverged("connected_components(two_phase)", max_iter, bool(checkpoint_dir))
     # star forest: b is the child side after small-star? edges are
     # canonical (a<b) with a = root candidate; component = min side.
     labels = edges.select(F.col("b").alias("v"), F.col("a").alias("component"))

@@ -31,6 +31,7 @@ def salted_join(
     hot_keys: DataFrame,
     salt: int = 8,
     how: str = "inner",
+    small_hint: str | None = None,
 ) -> DataFrame:
     """Join ``big ⋈ small`` on ``key`` with per-key salting for the keys
     in ``hot_keys`` ([key] one column).
@@ -38,15 +39,27 @@ def salted_join(
     Hot rows of ``big`` get a random-but-deterministic salt in [0,S);
     hot rows of ``small`` are replicated S times.  Cold rows use salt 0
     on both sides, so the plan stays a single equi-join on (key, salt).
+
+    ``small_hint`` (e.g. "SHUFFLE_HASH") marks the small side as the
+    hash-build side of the final join — avoids sort-merge sorting the
+    exploded big side, which dominates once the small side outgrows the
+    broadcast threshold.
     """
     hk = hot_keys.select(F.col(hot_keys.columns[0]).alias(key)).withColumn("_hot", F.lit(True))
+    # salt only over SCALAR columns: hashing array payloads per row is
+    # pure overhead (any deterministic row spread works)
+    scalar_cols = [
+        f.name
+        for f in big.schema.fields
+        if f.dataType.typeName() not in ("array", "map", "struct")
+    ] or list(big.columns)
     b = (
         big.join(F.broadcast(hk), key, "left")
         .withColumn(
             "_salt",
             F.when(
                 F.col("_hot").isNotNull(),
-                F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)),
+                F.pmod(F.xxhash64(*[F.col(c) for c in scalar_cols]), F.lit(salt)),
             ).otherwise(F.lit(0)),
         )
         .drop("_hot")
@@ -63,5 +76,7 @@ def salted_join(
         .withColumn("_salt", F.explode("_salts"))
         .drop("_salts")
     )
+    if small_hint:
+        s = s.hint(small_hint)
     out = b.join(s, [key, "_salt"], how).drop("_salt")
     return out

@@ -43,20 +43,93 @@ def write_macro_stats(totals: dict, path: str) -> None:
             f.write(f"{k} = {totals[k]}\n")
 
 
-def write_micro_stats(micro_df: DataFrame, path: str, output_id: bool = True) -> None:
+_MICRO_COLS = [
+    "triangle", "two_star", "clique4", "chordal_cycle4",
+    "tailed_tri4", "cycle4", "star3", "path4",
+]
+
+
+def write_micro_stats(
+    micro_df: DataFrame, path: str, output_id: bool = True, graph=None,
+    reference_order: bool = False,
+) -> None:
     """Single-file micro CSV (CLI parity).  For cluster-scale output use
-    ``micro_df.write.csv`` / parquet instead."""
-    cols = [
-        "triangle", "two_star", "clique4", "chordal_cycle4",
-        "tailed_tri4", "cycle4", "star3", "path4",
-    ]
+    ``micro_df.write.csv`` / parquet instead.
+
+    ``reference_order=True`` reproduces the reference binary's output
+    byte-for-byte: rows in E_ordered order with 1-based dense internal
+    ids (graphlet_core.cpp:1668-1761, ids printed +1 at cpp:1694).
+    Requires ``graph`` read with ``track_lineage=True``.  Derivation of
+    the order (all from the reference's default config):
+
+    * dense ids: first-appearance relabel (cpp:393-403; MTX ids direct);
+    * neighbor lists bucket-sorted by degree desc, ties in REVERSED
+      insertion order (bucket_sort_neighbors_parallel, cpp:1846-1876:
+      stable ascending counting sort then reversed);
+    * edge ids: scan v ascending, neighbors in that order, keep v<u;
+      the stored pair is (v,u) if deg(v)<deg(u) else (u,v)
+      (create_edge_list_arrays, cpp:929-949);
+    * E_ordered: sort by (deg_v+deg_u) DESC, edge id DESC
+      (sort_edges deg default + decr_bound tie by id,
+      cpp:855-867, graphlet_vertex.h:61-64).
+    """
     with open(path, "w") as f:
         hdr = MICRO_HEADER if output_id else MICRO_HEADER.replace("% src,dst,", "% ")
         f.write(hdr + "\n")
+        if reference_order:
+            for r in _reference_ordered_micro(micro_df, graph).toLocalIterator():
+                vals = [str(r[c]) for c in _MICRO_COLS]
+                prefix = f"{r['pv']},{r['pu']}," if output_id else ""
+                f.write(prefix + ",".join(vals) + "\n")
+            return
         for r in micro_df.orderBy("src", "dst").toLocalIterator():
-            vals = [str(r[c]) for c in cols]
+            vals = [str(r[c]) for c in _MICRO_COLS]
             prefix = f"{r['src']},{r['dst']}," if output_id else ""
             f.write(prefix + ",".join(vals) + "\n")
+
+
+def _reference_ordered_micro(micro_df: DataFrame, graph) -> DataFrame:
+    """micro rows + printed ids (pv, pu), sorted in E_ordered order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if graph is None or graph.lineage is None or graph.fa_map is None:
+        raise ValueError(
+            "reference_order needs the source graph read with track_lineage=True"
+        )
+    deg = graph.degrees()  # original ids; same degrees after relabel
+    fa = graph.fa_map
+    e = (
+        graph.lineage
+        .join(fa.select(F.col("orig").alias("src"), F.col("id").alias("sid")), "src")
+        .join(fa.select(F.col("orig").alias("dst"), F.col("id").alias("did")), "dst")
+        .join(deg.select(F.col("v").alias("src"), F.col("degree").alias("dsrc")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("degree").alias("ddst")), "dst")
+        .select(
+            "src", "dst", "first_row",
+            F.least("sid", "did").alias("x"),
+            F.greatest("sid", "did").alias("y"),
+            F.when(F.col("sid") < F.col("did"), F.col("dsrc")).otherwise(F.col("ddst")).alias("degx"),
+            F.when(F.col("sid") < F.col("did"), F.col("ddst")).otherwise(F.col("dsrc")).alias("degy"),
+        )
+    )
+    # edge id: v-scan order with (deg desc, insertion REVERSED) neighbor order
+    w_eid = Window.orderBy(
+        F.col("x").asc(), F.col("degy").desc(), F.col("first_row").desc()
+    )
+    e = e.withColumn("eid", F.row_number().over(w_eid))
+    # printed endpoint order fixed at edge creation (tie → larger id first)
+    e = e.select(
+        "src", "dst",
+        F.when(F.col("degx") < F.col("degy"), F.col("x") + 1).otherwise(F.col("y") + 1).alias("pv"),
+        F.when(F.col("degx") < F.col("degy"), F.col("y") + 1).otherwise(F.col("x") + 1).alias("pu"),
+        (F.col("degx") + F.col("degy")).alias("degsum"),
+        "eid",
+    )
+    out = micro_df.join(e, ["src", "dst"]).orderBy(
+        F.col("degsum").desc(), F.col("eid").desc()
+    )
+    return out
 
 
 def write_micro_distributed(micro_df: DataFrame, path: str, fmt: str = "parquet") -> None:

@@ -2,14 +2,26 @@
 
 The reference is batch-only; this is the incremental path a production
 transcript pipeline needs: new transcript files land, edges derive
-incrementally, and foreachBatch merges them into the canonical edge
-store (dedup against what's already there) while degree counts stay
-maintained.  Windowless axis-B derivation is exact per-batch; axis-A
-(turn adjacency) needs the previous turn, so the stream carries a
-conversation-windowed buffer via the same lead() applied per micro-
-batch — conversations are assumed to arrive whole per file (the
-transcript export unit), matching the input_hint's stable
-(conv_id, turn_idx) ordering contract.
+incrementally, and foreachBatch appends ONLY the not-yet-seen edges to
+the canonical store.
+
+Store layout: ``{edge_store}/epoch=<batch_id>/part-*.parquet`` — one
+partition directory per microbatch.  Each batch costs one left-anti
+join against the store plus one O(batch) write; the store is never
+rewritten.  Crash safety: the write targets exactly the ``epoch=N``
+directory of the batch being processed (mode=overwrite), so a retry of
+batch N replaces only its own partial output, and the anti-join base
+explicitly EXCLUDES epoch N — a half-written epoch can never mask its
+own edges on retry.  (The same layout maps 1:1 onto an Iceberg/Delta
+MERGE when those catalogs are available.)
+
+Axis-A (turn adjacency) needs the previous turn: the stream applies
+the same lead() per microbatch, so conversations must arrive whole per
+file — the transcript export unit per the input_hint's stable
+(conv_id, turn_idx) ordering contract.  A conversation split across
+two files would silently lose the one edge spanning the boundary;
+ingest files per conversation-complete export, or run the batch
+deriver over the full table to repair.
 """
 
 from __future__ import annotations
@@ -18,12 +30,24 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pgd_spark.graph import normalize_edges
-from pgd_spark.sources.transcripts import edges_from_transcripts, vertex_map
+from pgd_spark.sources.transcripts import edges_from_transcripts
 
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 )
+
+_STORE_SCHEMA = "src long, dst long, epoch int"
+
+
+def read_edge_store(spark: SparkSession, edge_store: str) -> DataFrame:
+    """The canonical edge view over the epoch-partitioned store
+    (explicit schema: an empty/absent store reads as zero rows)."""
+    return (
+        spark.read.schema(_STORE_SCHEMA)
+        .option("basePath", edge_store)
+        .parquet(edge_store)
+        .select("src", "dst")
+    )
 
 
 def streaming_edge_ingest(
@@ -34,7 +58,8 @@ def streaming_edge_ingest(
     vmap: DataFrame,
 ):
     """Start an availableNow stream: parquet transcript files →
-    per-batch edge derivation → merge into the parquet edge store.
+    per-batch edge derivation → incremental anti-join append into the
+    epoch-partitioned parquet edge store.
 
     Returns the StreamingQuery (caller awaits/stops).  The vertex map
     must be precomputed (streaming can't re-rank ids); unseen
@@ -48,16 +73,21 @@ def streaming_edge_ingest(
     )
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
         g, _ = edges_from_transcripts(batch_df, vmap=vmap)
         new_edges = g.edges
-        if os.path.exists(edge_store):
-            existing = batch_df.sparkSession.read.parquet(edge_store)
-            merged = normalize_edges(existing.unionByName(new_edges))
-        else:
-            merged = new_edges
-        merged.write.mode("overwrite").parquet(edge_store + ".tmp")
-        tmp = batch_df.sparkSession.read.parquet(edge_store + ".tmp")
-        tmp.write.mode("overwrite").parquet(edge_store)
+        if os.path.isdir(edge_store):
+            existing = (
+                s.read.schema(_STORE_SCHEMA)
+                .option("basePath", edge_store)
+                .parquet(edge_store)
+                .filter(F.col("epoch") != int(epoch_id))  # never self-mask on retry
+                .select("src", "dst")
+            )
+            new_edges = new_edges.join(existing, ["src", "dst"], "left_anti")
+        new_edges.write.mode("overwrite").parquet(
+            os.path.join(edge_store, f"epoch={int(epoch_id)}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

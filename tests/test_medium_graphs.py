@@ -25,6 +25,23 @@ def test_dd21_strategies_agree(spark, dd21):
             assert a[k] == pytest.approx(b[k]), k
 
 
+def test_dd21_distributed_salting_engaged_agrees(spark, dd21):
+    """Force the hot-key threshold low enough that EVERY wedge vertex
+    goes through the salted join path, and compare per-edge counts to
+    the broadcast kernel exactly."""
+    from pgd_spark.operators.graphlets import _edge_counts_distributed
+
+    a = {
+        (r["v"], r["u"]): (r["tri"], r["cliq"], r["cyc"])
+        for r in edge_graphlet_counts(dd21, strategy="broadcast").collect()
+    }
+    b = {
+        (r["v"], r["u"]): (r["tri"], r["cliq"], r["cyc"])
+        for r in _edge_counts_distributed(dd21, salt=4, hot_degree_threshold=1).collect()
+    }
+    assert a == b
+
+
 def test_dd21_vs_networkx(spark, dd21):
     t = macro_counts(dd21, strategy="broadcast")
     edges = [(r["src"], r["dst"]) for r in dd21.edges.collect()]

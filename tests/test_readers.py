@@ -79,3 +79,34 @@ def test_densify(spark):
     assert dg.num_vertices() == 3 and dg.num_edges() == 3
     ids = {r["id"] for r in mapping.collect()}
     assert ids == {0, 1, 2}
+
+
+def test_adjacency_neighbor_orderings(spark):
+    from tests.conftest import make_graph
+
+    # path + triangle: degrees differ so ordering is observable
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    deg = {r["v"]: r["degree"] for r in g.degrees().collect()}
+    rows = {r["v"]: r["nbrs"] for r in g.adjacency(order="degree").collect()}
+    for v, nbrs in rows.items():
+        keys = [(deg[w], w) for w in nbrs]
+        assert keys == sorted(keys, reverse=True), (v, nbrs)
+        assert sorted(nbrs) == sorted(rows[v])
+    # id order unchanged (the kernel contract)
+    for r in g.adjacency().collect():
+        assert list(r["nbrs"]) == sorted(r["nbrs"])
+    # kcore ordering returns the same neighbor SETS
+    krows = {r["v"]: set(r["nbrs"]) for r in g.adjacency(order="kcore").collect()}
+    assert {v: set(n) for v, n in rows.items()} == krows
+
+
+def test_from_csr_vectorized(spark):
+    from pgd_spark.graph import Graph
+
+    # triangle 0-1-2 plus pendant 3
+    indptr = [0, 2, 4, 7, 8]
+    indices = [1, 2, 0, 2, 0, 1, 3, 2]
+    g = Graph.from_csr(spark, indptr, indices)
+    got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2), (2, 3)}
+    assert Graph.from_csr(spark, [0], []).num_edges() == 0

@@ -130,3 +130,28 @@ def test_micro_matches_reference_binary(spark, name):
     assert len(got) == len(want)
     mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+@pytest.mark.parametrize("name", ["4-clique", "4-chordal-cycle", "4-clique-and-edge", "DD21"])
+def test_micro_reference_order_byte_identical(spark, name, tmp_path):
+    """write_micro_stats(reference_order=True) reproduces the binary's
+    micro CSV byte-for-byte (E_ordered row order, 1-based dense ids)."""
+    from pgd_spark.sinks import write_micro_stats
+
+    g = read_graph(spark, f"{REF_DATA}/{CASES[name]}", track_lineage=True)
+    micro = micro_counts(g, strategy="broadcast", pgd_quirk=True)
+    out = tmp_path / "micro.csv"
+    write_micro_stats(micro, str(out), output_id=True, graph=g, reference_order=True)
+    got = out.read_text()
+    want = open(f"{GOLDEN}/ref_{name}.micro").read()
+    assert got == want
+
+
+def test_first_appearance_densify_matches_reference_map(spark):
+    """Engine-native Graph.densify(order='first_appearance') equals the
+    externally reconstructed reference relabel (cpp:393-403)."""
+    path = f"{REF_DATA}/4-clique-and-edge.txt"
+    g = read_graph(spark, path, track_lineage=True)
+    _dense, mapping = g.densify(order="first_appearance")
+    got = {r["orig"]: r["id"] for r in mapping.collect()}
+    assert got == _first_appearance_map(path)
