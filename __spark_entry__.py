@@ -884,6 +884,20 @@ SELECT doc_id,
        best AS lang_hits
 FROM b"""
     o["doc_fingerprint"] = f"SELECT doc_id, md5({_DOC_NORM}) AS fp_md5 FROM documents"
+    # multimodal fake-decode: payload = hex(sha256('image'||id)) bytes,
+    # meta bytes = sha256(payload); byte k = hex pair 2k+1 of the digest
+    o["multimodal_meta"] = """
+WITH t AS (
+  SELECT doc_id, sha256(sha256('image' || CAST(doc_id AS VARCHAR))) AS hh
+  FROM documents
+)
+SELECT doc_id,
+       CAST(64 + CAST('0x' || substr(hh, 1, 2) AS INT) * 8 AS INT) AS width,
+       CAST(64 + CAST('0x' || substr(hh, 3, 2) AS INT) * 8 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST('0x' || substr(hh, 5, 2) AS INT) / 255.0 AS mean_luma,
+       ['jpeg', 'png', 'webp'][1 + CAST('0x' || substr(hh, 7, 2) AS INT) % 3] AS format
+FROM t"""
     o["doc_exact_dedup"] = f"""
 WITH k AS (SELECT doc_id, md5({_DOC_NORM}) AS k FROM documents),
 keep AS (SELECT k, min(doc_id) AS keep_id FROM k GROUP BY k)

@@ -25,21 +25,22 @@ def test_dd21_strategies_agree(spark, dd21):
             assert a[k] == pytest.approx(b[k]), k
 
 
-def test_dd21_distributed_salting_engaged_agrees(spark, dd21):
+def test_dd21_distributed_hot_path_engaged_agrees(spark, dd21):
     """Force the hot-key threshold low enough that EVERY wedge vertex
-    goes through the salted join path, and compare per-edge counts to
-    the broadcast kernel exactly."""
+    goes through the hot pair-enumeration path, and compare per-edge
+    counts to the broadcast kernel exactly; also check a mixed split."""
     from pgd_spark.operators.graphlets import _edge_counts_distributed
 
     a = {
         (r["v"], r["u"]): (r["tri"], r["cliq"], r["cyc"])
         for r in edge_graphlet_counts(dd21, strategy="broadcast").collect()
     }
-    b = {
-        (r["v"], r["u"]): (r["tri"], r["cliq"], r["cyc"])
-        for r in _edge_counts_distributed(dd21, salt=4, hot_degree_threshold=1).collect()
-    }
-    assert a == b
+    for thr in (0, 5):  # all-hot, and a cold/hot mix (DD21 max degree 12)
+        b = {
+            (r["v"], r["u"]): (r["tri"], r["cliq"], r["cyc"])
+            for r in _edge_counts_distributed(dd21, hot_degree_threshold=thr).collect()
+        }
+        assert a == b, thr
 
 
 def test_dd21_vs_networkx(spark, dd21):
