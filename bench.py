@@ -22,6 +22,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # steady-state timing: fixed pre-touched heap (see session.py) so
+    # the timed queries don't absorb first-touch page-fault storms
+    os.environ.setdefault("PGD_SPARK_DRIVER_MEM", "14g")
+    os.environ.setdefault("PGD_SPARK_PRETOUCH", "1")
 
     from pyspark.sql import functions as F
 

@@ -7,6 +7,7 @@ from pgd_spark.operators.pregel import (
     connected_components,
     label_propagation,
     pagerank,
+    pagerank_prepare,
 )
 from pgd_spark.operators.approximate import approximate_macro_counts
 from pgd_spark.operators.kcore import degeneracy_order, kcore, max_core
@@ -21,6 +22,7 @@ __all__ = [
     "vertex_micro_counts",
     "approximate_macro_counts",
     "pagerank",
+    "pagerank_prepare",
     "connected_components",
     "label_propagation",
     "kcore",

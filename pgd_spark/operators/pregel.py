@@ -83,6 +83,38 @@ def _latest_checkpoint(spark, checkpoint_dir: str | None, algo: str):
 
 
 # ---------------------------------------------------------------- PageRank
+def pagerank_prepare(g: Graph, chunk: int = 65536) -> DataFrame:
+    """One-time iteration table for :func:`pagerank`: grouped adjacency
+    [v, nbrs: array<long>, degree], persisted hash-partitioned on v.
+
+    Grouped beats the flat 2m-row edge table measurably (~30% per
+    iteration): the per-iteration join probes n array rows instead of
+    2m flat rows, and the 2m neighbor entries stream through a single
+    codegen'd explode instead of a cached-columnar scan.
+
+    ``chunk`` bounds the array length per row: a celebrity vertex's
+    adjacency is split over ceil(degree/chunk) rows (each keeps the
+    full-vertex ``degree``), so no single task ever owns an unbounded
+    hub array — the equi-join on v simply duplicates the rank onto each
+    chunk row.  Chunking changes nothing numerically (the downstream
+    groupBy re-sums all chunks' contributions).
+    """
+    npart = int(g.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = g.symmetric()
+    deg = g.degrees()
+    adj = (
+        sym.join(deg, "v")
+        .withColumn("_b", F.pmod(F.xxhash64("w"), F.greatest(F.ceil(F.col("degree") / chunk), F.lit(1))))
+        .groupBy("v", "_b")
+        .agg(F.collect_list("w").alias("nbrs"), F.first("degree").alias("degree"))
+        .select("v", "nbrs", "degree")
+        .repartition(npart, "v")
+        .persist()
+    )
+    adj.count()
+    return adj
+
+
 def pagerank(
     g: Graph,
     alpha: float = 0.85,
@@ -90,98 +122,112 @@ def pagerank(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     log: IterationLog | None = None,
-    checkpoint_interval: int = 5,
+    checkpoint_interval: int = 10,
+    adj: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank on the undirected graph (each edge acts
     in both directions).  Matches networkx.pagerank semantics: start
     uniform 1/n, L1 error < n*tol stops.  Returns [v, rank] with
     Σrank = 1.
 
-    Scale: ranks (n rows) join edges (2m rows) then groupBy(dst) —
-    the canonical shuffle pair.  Degrees are precomputed once; the
-    rank/degree quotient ships through the shuffle (skew on hub dst
-    vertices is AQE-split).  No dangling mass exists on a symmetrized
-    simple graph (every vertex has degree ≥ 1).
+    Scale: each iteration is ONE shuffle — the ranks→adjacency join is
+    zero-exchange (the grouped-adjacency table from
+    :func:`pagerank_prepare` is persisted hash-partitioned on the join
+    key and the previous iteration's agg leaves ranks partitioned on
+    the same key), the 2m neighbor entries stream through a codegen'd
+    explode, and only the map-side-combined contributions move in the
+    groupBy.  Because the graph is symmetrized and simple, every vertex
+    has degree ≥ 1, so every vertex RECEIVES a contribution row: no
+    dangling mass, and no per-iteration reconciliation join against the
+    vertex set.  Skew: hub SOURCE rows are chunked at prep; hub DST
+    keys are bounded by the partial agg (a reducer sees at most npart
+    pre-combined rows per hot key).
 
-    Job economy: iterations chain LAZILY and materialize only every
-    ``checkpoint_interval`` iterations (or every iteration when
-    ``checkpoint_dir`` makes per-iteration durability the point), so k
-    iterations cost ONE lineage-cut job plus one tiny L1-delta job
-    instead of 2k driver-synchronous jobs — on one box the per-job
-    scheduler/shuffle-round latency floor dominated iteration cost.
-    Convergence is therefore detected at cut boundaries: the k-step L1
-    delta upper-bounds the single-step delta, so the loop never stops
-    EARLIER than a per-iteration check would — it may run up to k-1
-    extra iterations past true convergence (documented overshoot).
+    Job economy (measured on the 12M-edge scaling graph): per-job fixed
+    cost ~2.5 s and an AQE re-planning tax ~4 s per materialization
+    dwarfed the ~1.3 s/iteration of actual CPU.  So iterations chain
+    LAZILY and materialize only every ``checkpoint_interval`` iterations
+    (or every iteration when ``checkpoint_dir`` makes per-iteration
+    durability the point), and AQE is suspended inside the loop — the
+    loop's stage sizes are known (npart everywhere), AQE's dynamic
+    coalescing only breaks the co-partitioning that makes the join
+    exchange-free, and skew is already handled by the partial agg.
+    Convergence is detected at cut boundaries: the k-step L1 delta
+    upper-bounds the single-step delta, so the loop never stops EARLIER
+    than a per-iteration check would — it may run up to k-1 extra
+    iterations past true convergence (documented overshoot).
     """
     spark = g.spark
     n = g.num_vertices()
+    if n == 0:
+        return spark.createDataFrame([], "v long, rank double")
     deg = g.degrees()
-    # fold the out-degree into the edge table once — saves a join per
-    # iteration — and persist it HASH-PARTITIONED on the join key so
-    # every iteration's join reuses the partitioning (only the small
-    # ranks side moves); the SHUFFLE_HASH hint keeps Catalyst from
-    # picking sort-merge, which would re-sort this table every
-    # iteration (measured: the sort dominated iteration cost).
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    edges_deg = (
-        g.symmetric()
-        .join(deg, "v")
-        .select("v", "w", "degree")
-        .repartition(npart, "v")
-        .hint("SHUFFLE_HASH")
-        .persist()
-    )
-    edges_deg.count()
-    log = log if log is not None else IterationLog()
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    own_adj = adj is None
+    try:
+        if adj is None:
+            adj = pagerank_prepare(g)
+        log = log if log is not None else IterationLog()
 
-    ranks, start_it = _latest_checkpoint(spark, checkpoint_dir, "pagerank")
-    if ranks is None:
-        ranks = deg.select("v", F.lit(1.0 / n).alias("rank"))
-        start_it = -1
+        ranks, start_it = _latest_checkpoint(spark, checkpoint_dir, "pagerank")
+        if ranks is None:
+            ranks = deg.select("v", F.lit(1.0 / n).alias("rank"))
+            start_it = -1
 
-    base = 1.0 - alpha
-    k = max(checkpoint_interval, 1)
-    prev_cut = ranks  # state at the last materialization (L1-delta base)
-    converged = tol <= 0
-    for it in range(start_it + 1, max_iter):
-        t0 = time.time()
-        contribs = (
-            ranks.join(edges_deg, "v")
-            .groupBy(F.col("w").alias("v"))
-            .agg(F.sum(F.col("rank") / F.col("degree")).alias("in_sum"))
-        )
-        new_ranks = deg.select("v").join(contribs, "v", "left").select(
-            "v",
-            (F.lit(base / n) + F.lit(alpha) * F.coalesce("in_sum", F.lit(0.0))).alias("rank"),
-        )
-        last = it == max_iter - 1
-        cut = bool(checkpoint_dir) or last or (it - start_it) % k == k - 1
-        err = None
-        if cut:
-            new_ranks = _cut_lineage(new_ranks, checkpoint_dir, "pagerank", it, log)
-            if tol > 0:
-                err = float(
-                    new_ranks.join(prev_cut.withColumnRenamed("rank", "old"), "v")
-                    .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("e"))
-                    .first()["e"]
+        base = 1.0 - alpha
+        k = max(checkpoint_interval, 1)
+        prev_cut = ranks  # state at the last materialization (L1-delta base)
+        converged = tol <= 0
+        for it in range(start_it + 1, max_iter):
+            t0 = time.time()
+            # SHUFFLE_HASH on the RANKS side: the n-row rank vector is
+            # the hash-build side; the adjacency rows stream through
+            # the probe (building on the adjacency side would re-hash
+            # it every iteration; sort-merge would re-sort it).
+            contribs = (
+                ranks.hint("SHUFFLE_HASH").join(adj, "v")
+                .select(
+                    F.explode("nbrs").alias("v"),
+                    (F.col("rank") / F.col("degree")).alias("c"),
                 )
-            prev_cut = new_ranks
-        log.add(algo="pagerank", iter=it, l1_delta=err, seconds=time.time() - t0)
-        ranks = new_ranks
-        if err is not None and err < n * tol:
-            converged = True
-            break
-    if not converged:
-        import warnings
+                .groupBy("v")
+                .agg(F.sum("c").alias("in_sum"))
+            )
+            new_ranks = contribs.select(
+                "v", (F.lit(base / n) + F.lit(alpha) * F.col("in_sum")).alias("rank")
+            )
+            last = it == max_iter - 1
+            cut = bool(checkpoint_dir) or last or (it - start_it) % k == k - 1
+            err = None
+            if cut:
+                new_ranks = _cut_lineage(new_ranks, checkpoint_dir, "pagerank", it, log)
+                if tol > 0:
+                    err = float(
+                        new_ranks.join(prev_cut.withColumnRenamed("rank", "old"), "v")
+                        .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("e"))
+                        .first()["e"]
+                    )
+                prev_cut = new_ranks
+            log.add(algo="pagerank", iter=it, l1_delta=err, seconds=time.time() - t0)
+            ranks = new_ranks
+            if err is not None and err < n * tol:
+                converged = True
+                break
+        if not converged:
+            import warnings
 
-        warnings.warn(
-            f"pagerank did not reach tol={tol} within max_iter={max_iter} "
-            "(returning the last iterate)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    return ranks
+            warnings.warn(
+                f"pagerank did not reach tol={tol} within max_iter={max_iter} "
+                "(returning the last iterate)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        if own_adj:
+            adj.unpersist()  # ranks is materialized; the iteration table can go
+        return ranks
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 
 
 # ----------------------------------------------------- connected components

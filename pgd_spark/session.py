@@ -48,6 +48,18 @@ def get_spark(
         # local[N] → N-ish partitions; AQE coalesces small stages further.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+    driver_mem = os.environ.get("PGD_SPARK_DRIVER_MEM", "48g")
+    # -Xms = -Xmx: G1's adaptive heap SHRINKS the committed heap after
+    # GC cycles, and on this virtualized host re-faulting the returned
+    # pages under concurrent tasks serializes on mmap_lock — measured
+    # 4x executor-CPU inflation and 3x run-to-run swings on identical
+    # stages.  A fixed-size heap faults each page once.  Benchmark runs
+    # can additionally set PGD_SPARK_PRETOUCH=1 to pre-fault the whole
+    # heap at startup (AlwaysPreTouch) so even the first timed run is
+    # steady-state; too slow (~9 s/GiB here) to default on for tests.
+    jvm_opts = f"-Xms{driver_mem}"
+    if os.environ.get("PGD_SPARK_PRETOUCH") == "1":
+        jvm_opts += " -XX:+AlwaysPreTouch"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -57,7 +69,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("PGD_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
