@@ -526,10 +526,20 @@ FROM kernel"""
     )
 
 
-def _macro_sql() -> str:
+def _macro_sql(edges_cte: str | None = None, include_cc: bool = True) -> str:
+    """Full 17-total macro census SQL over an ``edges`` CTE (default:
+    the co-purchase subgraph); ``include_cc`` appends wedges/global_cc."""
+    tail = (
+        """,
+       CAST(3 * tris + star2 AS BIGINT) AS total_wedges,
+       round(3.0 * tris / (3 * tris + star2), 6) AS global_cc
+FROM closure3"""
+        if include_cc
+        else "\nFROM closure3"
+    )
     return (
         "WITH "
-        + _SQL_EDGES_SUB
+        + (edges_cte if edges_cte is not None else _SQL_EDGES_SUB)
         + ","
         + _SQL_GRAPH_COMMON
         + ","
@@ -606,10 +616,8 @@ SELECT CAST(m AS BIGINT) AS total_2_1edge,
        CAST(s42 AS BIGINT) AS total_4_2star,
        CAST(t4 AS BIGINT) AS total_4_tri,
        CAST(n * (n - 1) * (n - 2) * (n - 3) // 24
-            - (cl4 + cc4 + tt4 + cy4 + st3 + p4 + e41 + e42 + s42 + t4) AS BIGINT) AS total_4_indep,
-       CAST(3 * tris + star2 AS BIGINT) AS total_wedges,
-       round(3.0 * tris / (3 * tris + star2), 6) AS global_cc
-FROM closure3"""
+            - (cl4 + cc4 + tt4 + cy4 + st3 + p4 + e41 + e42 + s42 + t4) AS BIGINT) AS total_4_indep"""
+        + tail
     )
 
 
@@ -696,6 +704,30 @@ FROM s"""
     )
     o["g_macro_counts"] = _macro_sql()
     o["g_micro_counts"] = _micro_sql()
+    # approximate census: per-edge kernel restricted to the portable
+    # hash-sampled edge set, HT-scaled by the realized inclusion rate,
+    # same floor(x+0.5) rounding as the engine (approximate.py)
+    from pgd_spark.operators.approximate import SAMPLE_A1, SAMPLE_A2, SAMPLE_MOD
+
+    _lim = int(0.5 * 1_000_003)
+    o["g_approx_census"] = (
+        _graph_cte_mat(sub=True)
+        + ","
+        + _SQL_KERNEL
+        + f""",
+mstat AS (SELECT count(*) AS m FROM edges),
+samp AS (
+  SELECT * FROM kernel
+  WHERE ((((LEAST(v, u) % {SAMPLE_MOD}) * {SAMPLE_A1}) % {SAMPLE_MOD}
+        + ((GREATEST(v, u) % {SAMPLE_MOD}) * {SAMPLE_A2}) % {SAMPLE_MOD}
+        + 7) % {SAMPLE_MOD}) % 1000003 < {_lim}
+),
+agg AS (SELECT count(*) AS sc, sum(tri) AS s_tri, sum(cliq) AS s_cliq FROM samp)
+SELECT CAST(floor((s_tri * (CAST(m AS DOUBLE) / sc)) / 3 + 0.5) AS BIGINT) AS total_3_tris,
+       CAST(floor((s_cliq * (CAST(m AS DOUBLE) / sc)) / 6 + 0.5) AS BIGINT) AS total_4_clique,
+       m AS total_2_1edge
+FROM agg, mstat"""
+    )
     o["g_kcore"] = _kcore_sql()
     o["g_label_propagation"] = _lpa_sql()
     o["g_pagerank"] = _pagerank_sql()
@@ -917,6 +949,198 @@ SELECT c.id_a, c.id_b,
 FROM common c JOIN sizes sa ON c.id_a = sa.id JOIN sizes sb ON c.id_b = sb.id
 WHERE CAST(c.inter AS DOUBLE) / (sa.sz + sb.sz - c.inter) >= 0.55"""
     )
+    # ---- transcript pipeline end-to-end: the generator is pure
+    # portable integer/float arithmetic (transcripts.py), so the SQL
+    # oracle replays generation → axis A+B derivation → vertex map →
+    # normalization → full macro census, value-for-value
+    from pgd_spark.sources.transcripts import N_TOOLS, ZIPF_S, _zipf_cdf
+
+    cdf_lits = ", ".join(repr(x) for x in _zipf_cdf(N_TOOLS, ZIPF_S))
+    u_expr = "((i * 2654435761 + turn_idx * 1103515245 + 12345) % 1000003) / 1000003.0"
+    transcript_edges_cte = f"""conv AS (
+  SELECT i, (i * 2654435761) % 28 + 5 AS n_turns FROM range(2000) t(i)
+),
+turns AS (
+  SELECT i, unnest(generate_series(0, n_turns - 1)) AS turn_idx FROM conv
+),
+t2 AS (
+  SELECT i, turn_idx,
+         CASE WHEN turn_idx % 7 = 6 THEN 'agent' || CAST(i % 5 AS VARCHAR)
+              WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN turn_idx % 3 = 1 THEN
+           'tool' || lpad(CAST(len(list_filter([{cdf_lits}], p -> p < {u_expr})) AS VARCHAR), 2, '0')
+         END AS tool
+  FROM turns
+),
+ld AS (
+  SELECT i, turn_idx, role, tool,
+         lead(role) OVER (PARTITION BY i ORDER BY turn_idx) AS next_role
+  FROM t2
+),
+pairs AS (
+  SELECT 'r' AS k1, role AS n1, 'r' AS k2, next_role AS n2 FROM ld WHERE next_role IS NOT NULL
+  UNION ALL
+  SELECT 'r', role, 't', tool FROM ld WHERE tool IS NOT NULL
+),
+verts AS (
+  SELECT DISTINCT kind, name FROM (
+    SELECT 'r' AS kind, role AS name FROM t2
+    UNION ALL
+    SELECT 't', tool FROM t2 WHERE tool IS NOT NULL
+  )
+),
+vmap AS (SELECT kind, name, row_number() OVER (ORDER BY kind, name) - 1 AS vid FROM verts),
+raw_edges AS (
+  SELECT v1.vid AS a, v2.vid AS b
+  FROM pairs p
+  JOIN vmap v1 ON v1.kind = p.k1 AND v1.name = p.n1
+  JOIN vmap v2 ON v2.kind = p.k2 AND v2.name = p.n2
+),
+edges AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst FROM raw_edges WHERE a <> b
+)"""
+    o["transcript_graph_census"] = _macro_sql(edges_cte=transcript_edges_cte, include_cc=False)
+
+    # ---- minhash / simhash: the engine's hash family is PORTABLE by
+    # design (rolling hash mod 2^31-1 + seeded affine maps, see
+    # pgd_spark.functions.dedup) — the oracle regenerates the identical
+    # constants and replays the same arithmetic in SQL.
+    from pgd_spark.functions.dedup import HASH_BASE, HASH_MOD, hash_family
+
+    def _rh_sql(col: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform("
+            f"string_split_regex({col}, ''), c -> unicode(c)::BIGINT)), "
+            f"(a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD})"
+        )
+
+    fam = hash_family(128, seed=42)
+    min_exprs = ",\n       ".join(
+        f"min(({a} * rh + {b}) % {HASH_MOD}) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT id, {bi} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            bi=bi, cols=", ".join(f"h{bi * 8 + r}" for r in range(8))
+        )
+        for bi in range(16)
+    )
+    o["doc_minhash_dedup"] = (
+        "WITH "
+        + _SQL_SHINGLES
+        + f""",
+rh AS (SELECT id, {_rh_sql('shingle')} AS rh FROM sh),
+sig AS (SELECT id,
+       {min_exprs}
+FROM rh GROUP BY id),
+banded AS (
+  {band_selects}
+),
+okb AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) <= 1000),
+banded2 AS (SELECT banded.* FROM banded JOIN okb USING (band, bucket)),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded2 x JOIN banded2 y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.7"""
+    )
+
+    sfam = hash_family(64, seed=42)
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (({a} * rh + {c}) % {HASH_MOD}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b, (a, c) in enumerate(sfam)
+    )
+    # unsigned 64-bit signature as HUGEINT; quarters by integer div/mod
+    # (the engine packs into a signed long and shift-masks — same bits)
+    uh = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END)::HUGEINT * {1 << b}::HUGEINT"
+        for b in range(64)
+    )
+    qcols = ", ".join(
+        f"CAST((uh // {1 << (q * 16)}::HUGEINT) % 65536 AS BIGINT) AS q{q}" for q in range(4)
+    )
+    quarter_union = "\n  UNION ALL ".join(
+        f"SELECT id, {q} AS q, q{q} AS qv, q0, q1, q2, q3 FROM quarts" for q in range(4)
+    )
+    o["doc_simhash"] = f"""
+WITH norm AS (SELECT doc_id AS id, {_DOC_NORM} AS t FROM documents),
+toks AS (
+  SELECT id, tok FROM (SELECT id, unnest(string_split(t, ' ')) AS tok FROM norm)
+  WHERE length(tok) > 0
+),
+rhs AS (SELECT id, {_rh_sql('tok')} AS rh FROM toks),
+sums AS (SELECT id,
+       {bit_sums}
+FROM rhs GROUP BY id),
+sig AS (SELECT id, {uh} AS uh FROM sums),
+quarts AS (SELECT id, {qcols} FROM sig),
+bq AS (
+  {quarter_union}
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         x.q0 AS xa0, x.q1 AS xa1, x.q2 AS xa2, x.q3 AS xa3,
+         y.q0 AS ya0, y.q1 AS ya1, y.q2 AS ya2, y.q3 AS ya3
+  FROM bq x JOIN bq y ON x.q = y.q AND x.qv = y.qv AND x.id < y.id
+)
+SELECT id_a, id_b,
+       bit_count(xor(xa0, ya0)) + bit_count(xor(xa1, ya1))
+     + bit_count(xor(xa2, ya2)) + bit_count(xor(xa3, ya3)) AS hamming
+FROM cand
+WHERE bit_count(xor(xa0, ya0)) + bit_count(xor(xa1, ya1))
+    + bit_count(xor(xa2, ya2)) + bit_count(xor(xa3, ya3)) <= 8"""
+
+    # ---- LSH ANN: the hyperplanes are seeded constants — regenerate
+    # the identical planes and bake them into the SQL as literals; the
+    # bucket join, exact re-score, and top-k replay in SQL
+    from pgd_spark.functions.similarity import _hyperplanes
+
+    def _bucket_sql(vcol: str, planes: list[list[float]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vcol}, [{', '.join(repr(x) for x in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    def _bucket_union(src: str, idc: str, vcol: str) -> str:
+        return "\n    UNION ALL ".join(
+            f"SELECT {idc}, {vcol}, {t} AS t, {_bucket_sql(vcol, _hyperplanes(64, 8, t, 42))} AS b FROM {src}"
+            for t in range(6)
+        )
+
+    o["emb_lsh_topk"] = f"""
+WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS q FROM it WHERE vec_id < 10),
+ib AS (
+    {_bucket_union('it', 'vec_id', 'v')}
+),
+qb AS (
+    {_bucket_union('qs', 'query_id', 'q')}
+),
+cand AS (
+  SELECT DISTINCT qb.query_id, ib.vec_id
+  FROM ib JOIN qb ON ib.t = qb.t AND ib.b = qb.b
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, list_cosine_similarity(it.v, qs.q) AS sim
+  FROM cand c JOIN it ON it.vec_id = c.vec_id JOIN qs ON qs.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"""
+
     o["emb_cosine_topk"] = """
 WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 qs AS (SELECT vec_id AS query_id, v AS q FROM it WHERE vec_id < 10),

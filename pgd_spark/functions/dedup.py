@@ -13,15 +13,45 @@ Four families, all expressed Spark-first:
                    JVM-side (64 codegen'd conditional sums), candidate
                    pairs via 16-bit band equality, Hamming verify.
 
-All hashing uses xxhash64 with literal seeds — deterministic across
-runs/partitions, no RNG state.
+All hashing is deterministic across runs/partitions (no RNG state) and
+PORTABLE: a polynomial rolling hash over code points mod 2^31-1 plus a
+seeded affine family (a*h+b mod 2^31-1), the same arithmetic ANSI SQL
+can express — so every operator here is oracle-checkable value-for-
+value against an independent SQL engine, and the family is cheaper
+than k string hashes (one rolling hash per token, k affine maps).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))  # noqa: E731
+
+#: modulus for the portable hash family: 2^31-1 (Mersenne prime).
+#: a*h+b stays < 2^62 — no int64 overflow in any SQL engine.
+HASH_MOD = 2_147_483_647
+HASH_BASE = 1009
+
+
+def char_hash(col: Column, base: int = HASH_BASE, mod: int = HASH_MOD) -> Column:
+    """Polynomial rolling hash of a string column into [0, mod):
+    fold(chars, acc -> (acc*base + codepoint) % mod).  Pure codegen'd
+    column math (split + aggregate), no Python."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def hash_family(k: int, seed: int = 42, mod: int = HASH_MOD) -> list[tuple[int, int]]:
+    """k seeded affine maps h -> (a*h + b) % mod; the classic universal
+    family.  Deterministic in (k, seed) so an oracle can regenerate the
+    identical constants."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, mod), rng.randrange(0, mod)) for _ in range(k)]
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -95,12 +125,16 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    seed: int = 42,
 ) -> DataFrame:
-    """[id, sig: array<long>] — k independent minhashes; hash i is
-    xxhash64(shingle, seed=i) (k aggregations in one shuffle)."""
-    sh = _shingles(df, id_col, text_col, n)
+    """[id, sig: array<long>] — k independent minhashes; ONE rolling
+    hash per shingle, then k affine maps (a_i*h+b_i mod 2^31-1) — k
+    aggregations in one shuffle, portable arithmetic throughout."""
+    fam = hash_family(num_hashes, seed)
+    sh = _shingles(df, id_col, text_col, n).withColumn("rh", char_hash(F.col("shingle")))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("rh") + F.lit(b)) % HASH_MOD).alias(f"h{i}")
+        for i, (a, b) in enumerate(fam)
     ]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
@@ -115,6 +149,7 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket_size: int | None = 1000,
+    seed: int = 42,
 ) -> DataFrame:
     """[id_a, id_b, jaccard] near-dup pairs: banded-LSH candidates,
     then EXACT n-gram Jaccard verification of candidates only (no
@@ -126,7 +161,9 @@ def minhash_dedup(
     near-dups whose pair list is quadratic; the cap bounds the worst
     case while other bands still recall pairs (None = no cap)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    # bucket key = the band's joined minhash values as a string — an
+    # equality key needs no re-hash (and stays oracle-portable)
     banded = sig.select(
         "id",
         F.explode(
@@ -134,8 +171,8 @@ def minhash_dedup(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col("sig")[bi * rows + r] for r in range(rows)])
+                        F.concat_ws(
+                            ",", *[F.col("sig")[bi * rows + r] for r in range(rows)]
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
@@ -178,22 +215,24 @@ def minhash_dedup(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seed: int = 42
 ) -> DataFrame:
     """[id, simhash: long] — 64-bit SimHash over whitespace tokens,
-    entirely JVM-side: token → xxhash64, bit b contributes ±1, sign of
-    each bit-sum sets the signature bit."""
+    entirely JVM-side: one rolling hash per token, bit b's indicator is
+    the parity of the b-th affine map of it ((a_b*h+c_b mod 2^31-1)
+    mod 2, 64 independent-parity bits), each token contributes ±1 per
+    bit, sign of the bit-sum sets the signature bit."""
+    fam = hash_family(64, seed)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(_NORM(F.col(text_col)), " ")).alias("tok"),
-    ).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    ).filter(F.length("tok") > 0).withColumn("rh", char_hash(F.col("tok")))
     sums = toks.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(((F.lit(a) * F.col("rh") + F.lit(b_)) % HASH_MOD) % 2 == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b, (a, b_) in enumerate(fam)
         ]
     )
     sig = F.lit(0).cast("long")

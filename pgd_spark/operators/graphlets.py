@@ -469,6 +469,7 @@ def macro_counts(
     ]
     t["total_4_indep"] = n * (n - 1) * (n - 2) * (n - 3) // 24 - sum(t[x] for x in k4)
     t["_nsums"] = {f"n{i}": s[f"n{i}"] for i in range(1, 11)}
+    t["_ksums"] = {k: s[k] for k in ("t_tri", "t_star", "t_disc", "t_cliq", "t_cyc")}
     return t
 
 

@@ -25,36 +25,39 @@ from pgd_spark.graph import Graph
 def kcore(g: Graph, max_iter: int = 100) -> DataFrame:
     """[v, core] — exact coreness. Also usable as the `kcore` edge-
     ordering feature for parity with the reference orderings."""
+    from pgd_spark.operators.pregel import suspend_aqe
+
     edges = g.symmetric()
     labels = g.degrees().select("v", F.col("degree").cast("long").alias("core"))
     labels = labels.localCheckpoint(eager=True)
     converged = False
-    for _ in range(max_iter):
-        nbr_vals = (
-            labels.join(edges, "v")
-            .select(F.col("w").alias("v"), F.col("core").alias("nbr_core"))
-        )
-        w = Window.partitionBy("v").orderBy(F.col("nbr_core").desc())
-        h = (
-            nbr_vals.withColumn("rn", F.row_number().over(w))
-            .withColumn("hterm", F.least(F.col("rn").cast("long"), F.col("nbr_core")))
-            .groupBy("v")
-            .agg(F.max("hterm").alias("h"))
-        )
-        new_labels = (
-            labels.join(h, "v", "left")
-            .select("v", F.least("core", F.coalesce("h", F.lit(0))).alias("core"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("core", "old"), "v")
-            .filter(F.col("core") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+    with suspend_aqe(g.spark):
+        for _ in range(max_iter):
+            nbr_vals = (
+                labels.join(edges, "v")
+                .select(F.col("w").alias("v"), F.col("core").alias("nbr_core"))
+            )
+            w = Window.partitionBy("v").orderBy(F.col("nbr_core").desc())
+            h = (
+                nbr_vals.withColumn("rn", F.row_number().over(w))
+                .withColumn("hterm", F.least(F.col("rn").cast("long"), F.col("nbr_core")))
+                .groupBy("v")
+                .agg(F.max("hterm").alias("h"))
+            )
+            new_labels = (
+                labels.join(h, "v", "left")
+                .select("v", F.least("core", F.coalesce("h", F.lit(0))).alias("core"))
+            )
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.join(labels.withColumnRenamed("core", "old"), "v")
+                .filter(F.col("core") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         # the h-index wavefront advances one hop per round: exhausting
         # max_iter on a high-diameter graph silently returns cores that

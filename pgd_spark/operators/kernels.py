@@ -339,13 +339,17 @@ def make_range_kernel(
             v = ov[idx]
             u = ou[idx]
             if sample is not None:
+                # portable hash on the canonical endpoint pair — the
+                # SAME arithmetic as the distributed strategy and the
+                # SQL oracle (approximate.py SAMPLE_* constants); all
+                # products stay < 2^63, no wraparound semantics needed
                 denom, limit, seed = sample
-                h = (
-                    uniq[v].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                    + uniq[u].astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-                    + np.uint64(seed)
-                )
-                keep = (h % np.uint64(denom)) < np.uint64(limit)
+                M = np.int64(2_147_483_647)
+                a = np.minimum(uniq[v], uniq[u]).astype(np.int64) % M
+                b = np.maximum(uniq[v], uniq[u]).astype(np.int64) % M
+                h = (a * np.int64(1_103_515_245) % M
+                     + b * np.int64(2_654_435_761) % M + np.int64(seed)) % M
+                keep = (h % np.int64(denom)) < np.int64(limit)
                 v, u = v[keep], u[keep]
                 if len(v) == 0:
                     continue

@@ -19,10 +19,27 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 from pgd_spark.graph import Graph
+
+
+@contextmanager
+def suspend_aqe(spark):
+    """AQE off for the duration of an iterative loop: stage sizes are
+    static (npart everywhere), AQE's coalescing breaks the agg→join
+    co-partitioning that keeps iterations exchange-free, and its
+    re-planning added ~4 s per materialization (measured on the 12M-edge
+    scaling graph).  Skew inside these loops is handled structurally
+    (map-side partial aggregation bounds any hot reduce key)."""
+    was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", was)
 
 
 # --------------------------------------------------------------- utilities
@@ -162,10 +179,8 @@ def pagerank(
     if n == 0:
         return spark.createDataFrame([], "v long, rank double")
     deg = g.degrees()
-    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     own_adj = adj is None
-    try:
+    with suspend_aqe(spark):
         if adj is None:
             adj = pagerank_prepare(g)
         log = log if log is not None else IterationLog()
@@ -226,8 +241,6 @@ def pagerank(
         if own_adj:
             adj.unpersist()  # ranks is materialized; the iteration table can go
         return ranks
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 
 
 # ----------------------------------------------------- connected components
@@ -260,27 +273,28 @@ def connected_components(
         labels = g.degrees().select("v", F.col("v").alias("component"))
         start_it = -1
 
-    for it in range(start_it + 1, max_iter):
-        t0 = time.time()
-        nbr_min = (
-            labels.join(edges, "v")
-            .groupBy(F.col("w").alias("v"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "v", "left")
-            .select("v", F.least("component", F.coalesce("nbr_min", "component")).alias("component"))
-        )
-        new_labels = _cut_lineage(new_labels, checkpoint_dir, "cc", it, log)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "v")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        log.add(algo="cc", iter=it, changed=int(changed), seconds=time.time() - t0)
-        labels = new_labels
-        if changed == 0:
-            return labels
+    with suspend_aqe(spark):
+        for it in range(start_it + 1, max_iter):
+            t0 = time.time()
+            nbr_min = (
+                labels.join(edges, "v")
+                .groupBy(F.col("w").alias("v"))
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr_min, "v", "left")
+                .select("v", F.least("component", F.coalesce("nbr_min", "component")).alias("component"))
+            )
+            new_labels = _cut_lineage(new_labels, checkpoint_dir, "cc", it, log)
+            changed = (
+                new_labels.join(labels.withColumnRenamed("component", "old"), "v")
+                .filter(F.col("component") != F.col("old"))
+                .count()
+            )
+            log.add(algo="cc", iter=it, changed=int(changed), seconds=time.time() - t0)
+            labels = new_labels
+            if changed == 0:
+                return labels
     # hashmin propagates min labels one hop per round: exhausting
     # max_iter on a graph with diameter > max_iter returns WRONG labels
     # — fail loudly (use algorithm="two_phase" for high-diameter graphs,
@@ -402,34 +416,35 @@ def label_propagation(
         labels = g.degrees().select("v", F.col("v").alias("label"))
         start_it = -1
 
-    for it in range(start_it + 1, max_iter):
-        t0 = time.time()
-        votes = (
-            labels.join(edges, "v")
-            .groupBy(F.col("w").alias("v"), "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        w_best = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("label").asc())
-        best = (
-            votes.withColumn("rn", F.row_number().over(w_best))
-            .filter(F.col("rn") == 1)
-            .select("v", "label")
-        )
-        new_labels = (
-            labels.select("v").join(best.withColumnRenamed("label", "nl"), "v", "left")
-            .join(labels.withColumnRenamed("label", "old"), "v")
-            .select("v", F.coalesce("nl", "old").alias("label"))
-        )
-        new_labels = _cut_lineage(new_labels, checkpoint_dir, "lpa", it, log)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "v")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        log.add(algo="lpa", iter=it, changed=int(changed), seconds=time.time() - t0)
-        labels = new_labels
-        if changed == 0:
-            break
+    with suspend_aqe(spark):
+        for it in range(start_it + 1, max_iter):
+            t0 = time.time()
+            votes = (
+                labels.join(edges, "v")
+                .groupBy(F.col("w").alias("v"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            w_best = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("label").asc())
+            best = (
+                votes.withColumn("rn", F.row_number().over(w_best))
+                .filter(F.col("rn") == 1)
+                .select("v", "label")
+            )
+            new_labels = (
+                labels.select("v").join(best.withColumnRenamed("label", "nl"), "v", "left")
+                .join(labels.withColumnRenamed("label", "old"), "v")
+                .select("v", F.coalesce("nl", "old").alias("label"))
+            )
+            new_labels = _cut_lineage(new_labels, checkpoint_dir, "lpa", it, log)
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "v")
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            log.add(algo="lpa", iter=it, changed=int(changed), seconds=time.time() - t0)
+            labels = new_labels
+            if changed == 0:
+                break
     return labels
 
 

@@ -67,8 +67,19 @@ def generate_transcripts(spark: SparkSession, n_conv: int) -> DataFrame:
         .when(F.col("turn_idx") % 2 == 0, F.lit("user"))
         .otherwise(F.lit("assistant"))
     )
-    # uniform-in-[0,1) hash for the Zipf draw
-    u = (F.abs(F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit("tool"))) % 1_000_000) / 1_000_000.0
+    # uniform-in-[0,1) hash for the Zipf draw — portable integer mixing
+    # (same arithmetic is expressible in ANSI SQL, so the whole
+    # pipeline down to census totals is oracle-checkable); i*A stays
+    # < 2^63 up to ~3.4e9 conversations
+    u = (
+        F.pmod(
+            F.col("i").cast("long") * F.lit(2_654_435_761)
+            + F.col("turn_idx").cast("long") * F.lit(1_103_515_245)
+            + F.lit(12_345),
+            F.lit(1_000_003),
+        )
+        / 1_000_003.0
+    )
     tool_rank = F.size(F.filter(cdf_lit, lambda p: p < u))
     out = turns.select(
         "conv_id",

@@ -129,3 +129,25 @@ def test_triangle_count_per_vertex(spark):
     want = nx.triangles(nx.Graph(edges))
     want = {v: c for v, c in want.items() if v in got}
     assert got == want
+
+
+def test_pagerank_hub_chunking(spark):
+    """A celebrity vertex's adjacency row is split over ceil(deg/chunk)
+    rows by pagerank_prepare(chunk=...); ranks must be bit-equal to the
+    unchunked run (the groupBy re-sums all chunk contributions)."""
+    from pgd_spark.operators.pregel import pagerank_prepare
+
+    edges = [(0, i) for i in range(1, 201)] + [(1, 2), (3, 4), (5, 6), (2, 3)]
+    g = make_graph(spark, edges)
+    adj = pagerank_prepare(g, chunk=16)  # hub row -> 13 chunk rows
+    try:
+        nchunk = adj.count()
+        nvert = g.num_vertices()
+        assert nchunk > nvert  # the hub actually got split
+        r_chunked = {r["v"]: r["rank"] for r in pagerank(g, tol=0.0, max_iter=15, adj=adj).collect()}
+        r_plain = {r["v"]: r["rank"] for r in pagerank(g, tol=0.0, max_iter=15).collect()}
+    finally:
+        adj.unpersist()
+    assert set(r_chunked) == set(r_plain)
+    for v in r_plain:
+        assert abs(r_chunked[v] - r_plain[v]) < 1e-12
