@@ -33,15 +33,29 @@ HASH_MOD = 2_147_483_647
 HASH_BASE = 1009
 
 
-def char_hash(col: Column, base: int = HASH_BASE, mod: int = HASH_MOD) -> Column:
+def char_hash(
+    col: Column, base: int = HASH_BASE, mod: int = HASH_MOD, length: int | None = None
+) -> Column:
     """Polynomial rolling hash of a string column into [0, mod):
-    fold(chars, acc -> (acc*base + codepoint) % mod).  Pure codegen'd
-    column math (split + aggregate), no Python."""
-    return F.aggregate(
+    fold(chars, acc -> (acc*base + codepoint) % mod), no Python.
+
+    With ``length`` (the usual string length, e.g. the n of n-gram
+    shingles) the fold unrolls to ``length`` nested codegen'd
+    ascii(substr) expressions — measurably faster than the
+    higher-order-function path, same value; strings of any other
+    length fall back to the fold (a document shorter than n yields one
+    short shingle)."""
+    fold = F.aggregate(
         F.split(col, ""),
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
+    if length is not None:
+        acc = F.lit(0).cast("long")
+        for i in range(1, length + 1):
+            acc = (acc * base + F.ascii(F.substring(col, i, 1))) % mod
+        return F.when(F.length(col) == length, acc).otherwise(fold)
+    return fold
 
 
 def hash_family(k: int, seed: int = 42, mod: int = HASH_MOD) -> list[tuple[int, int]]:
@@ -131,7 +145,9 @@ def minhash_signatures(
     hash per shingle, then k affine maps (a_i*h+b_i mod 2^31-1) — k
     aggregations in one shuffle, portable arithmetic throughout."""
     fam = hash_family(num_hashes, seed)
-    sh = _shingles(df, id_col, text_col, n).withColumn("rh", char_hash(F.col("shingle")))
+    sh = _shingles(df, id_col, text_col, n).withColumn(
+        "rh", char_hash(F.col("shingle"), length=n)
+    )
     mins = [
         F.min((F.lit(a) * F.col("rh") + F.lit(b)) % HASH_MOD).alias(f"h{i}")
         for i, (a, b) in enumerate(fam)

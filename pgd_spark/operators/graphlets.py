@@ -121,19 +121,25 @@ def _edge_counts_distributed(
     * triangles: adjacency-array joins + array_intersect (degree
       orientation bounds the carried small-side arrays).
     * 4-cliques: TRIANGLE-PAIR ENUMERATION — explode the unordered
-      pairs within each edge's triangle-node set and equi-join against
-      the edge table itself.  Join keys are edge keys (near-uniform),
-      so hub VERTICES create no hot reducer here at all, and for
-      sparse graphs Σ tri² pair volume beats Σ_{t∈T} deg(t) gathers.
-    * 4-cycles: wedge-node rows split by temperature.  COLD wedge
-      vertices (degree ≤ hot_degree_threshold) join adjacency on the
-      wedge vertex and intersect — cheap and reducer-balanced by
-      construction.  HOT wedge vertices (celebrity nodes) would land
-      every exploded row on one reducer AND pay O(hub degree) per row
-      in the intersect; instead their rows explode the (small) wv side
-      into (w, x) pairs and equi-join the edge table — O(|wv|) per row
-      and edge-keyed, so both the reducer skew and the per-row hub
-      cost vanish (measured 14x on a max-degree-27k graph).
+      pairs within each edge's triangle-node set, probe the edge-key
+      set.  Keys are edge keys (near-uniform): no hot reducer.
+    * 4-cycles: wedge rows (v,u,w∈W_u) split by the far vertex's
+      degree.  COLD w (deg ≤ hot_degree_threshold): join w's
+      adjacency, array_intersect with wv — array-native sorted-merge,
+      ~10x cheaper per element than exploded rows, and the w-keyed
+      shuffle is balanced because the threshold bounds both the
+      per-row cost AND any one w's total weight.  HOT w (celebrity
+      vertices): explode (w, x) ∈ {w} × W_v and probe the edge keys —
+      O(|wv|) per row on near-uniform keys, immune to hub degree.
+      Routing EVERYTHING through pair enumeration was tried and is
+      balanced but ~10x slower: the pair stream on a 2M-edge skew-1.5
+      graph is 10^10 rows, almost all probe misses that the sorted
+      intersect rejects at array speed.
+
+    Two physical regimes per lookup side (edge keys, adjacency):
+    BROADCAST while it fits an executor (the pair/wedge streams then
+    never leave their mappers and partial aggs collapse in-pipeline);
+    SHUFFLE_HASH beyond (sort-merge would sort the big streams).
 
     Remaining hub limit (documented): the BASE adjacency join carries
     one array row per vertex, so a vertex with degree ≫ 10^8 would
@@ -147,18 +153,33 @@ def _edge_counts_distributed(
     if edge_predicate is not None:
         ori = ori.filter(edge_predicate)
 
-    # SHUFFLE_HASH on the adjacency sides: adjacency (n rows) is always
-    # the hash-build side; sort-merge would sort the m-row edge stream
-    # (and later the exploded wedge stream) for no benefit once
-    # adjacency outgrows the broadcast threshold.
+    npart = int(g.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    m = g.num_edges()
+    n = max(g.num_vertices(), 1)
+    # adjacency lookup side (~8 B/entry, 2m entries): BROADCAST while it
+    # fits an executor.  The payoff is structural, not just a cheaper
+    # join: with map-side adjacency joins, `base` keeps the balanced
+    # (v,u) partitioning below — a SHUFFLE_HASH join on u would place
+    # EVERY edge of a hub u (each carrying the hub's full wu array,
+    # ~deg_u² entries ≈ 2 GB at deg 15k) in ONE partition, and the
+    # tasks that later read it run 35-100x past their stage median.
+    small_adj = m <= 10_000_000
+    if small_adj:
+        ori = ori.repartition(npart, "v", "u")
+
+    def _side(df):
+        # beyond the broadcast budget: SHUFFLE_HASH (sort-merge would
+        # sort the m-row edge stream for no benefit)
+        return F.broadcast(df) if small_adj else df.hint("SHUFFLE_HASH")
+
     base = (
         ori.join(
-            adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")).hint("SHUFFLE_HASH"),
+            _side(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv"))),
             ori.v == F.col("_v"),
         )
         .drop("_v")
         .join(
-            adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu")).hint("SHUFFLE_HASH"),
+            _side(adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu"))),
             ori.u == F.col("_u"),
         )
         .drop("_u")
@@ -174,59 +195,70 @@ def _edge_counts_distributed(
             F.array_except(F.array_remove("nv", F.col("u")), "nu").alias("wv"),
         )
         .withColumn("tri", F.size("tri_arr").cast("long"))
+        # null out arrays no downstream branch reads before persisting:
+        # tri_arr only feeds the clique pair-explode (tri >= 2), wu/wv
+        # only feed the cycle paths when BOTH are non-empty — on sparse
+        # graphs that drops most of the cached array volume (the 5M-edge
+        # skew-1.5 proof graph carries ~10^9 array entries otherwise)
+        .select(
+            "v",
+            "u",
+            "deg_v",
+            "deg_u",
+            "tri",
+            F.when(F.col("tri") >= 2, F.col("tri_arr")).alias("tri_arr"),
+            F.when((F.size("wu") > 0) & (F.size("wv") > 0), F.col("wu")).alias("wu"),
+            F.when((F.size("wu") > 0) & (F.size("wv") > 0), F.col("wv")).alias("wv"),
+        )
     )
     base = base.persist()
+
+    # edge-key probe side: ~16 B/edge broadcast budget
+    ekeys = g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ekeys = F.broadcast(ekeys) if m <= 20_000_000 else ekeys.hint("SHUFFLE_HASH")
+    adj_w = _side(adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw")))
+
+    # broadcast regime: base inherited the balanced (v,u) partitioning.
+    # SHUFFLE_HASH regime: the u-keyed join clustered hub edges — spread
+    # them (pays the hub-partition read once, then every explode below
+    # is balanced).
+    spread = base if small_adj else base.repartition(npart, "v", "u")
 
     # 4-cliques: unordered pairs within the triangle-node set that are
     # themselves edges.  tri_arr is sorted (array_intersect of sorted
     # inputs), so a < b pairs match canonical (src < dst) edge keys.
-    tri_pairs = (
-        base.filter(F.col("tri") >= 2)
+    cliq = (
+        spread.filter(F.col("tri") >= 2)
         .select("v", "u", F.explode("tri_arr").alias("a"), F.col("tri_arr"))
         .select("v", "u", "a", F.explode("tri_arr").alias("b"))
         .filter(F.col("a") < F.col("b"))
-    )
-    cliq = (
-        tri_pairs.join(
-            g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).hint(
-                "SHUFFLE_HASH"
-            ),
-            ["a", "b"],
-        )
+        .join(ekeys, ["a", "b"])
         .groupBy("v", "u")
         .agg(F.count("*").cast("long").alias("cliq"))
     )
 
-    # 4-cycles: explode wedge nodes (u side), count adjacency into the
-    # v-only side; hot wedge vertices take the pair-enumeration path.
+    # 4-cycles: hybrid by wedge-vertex temperature (see docstring).
+    # Threshold: a healthy multiple of the average degree — hot enough
+    # to catch celebrity vertices, low enough that the cold intersect
+    # cost per row stays bounded (the old 2m/npart default never fired:
+    # a 15k-degree vertex stayed "cold" and one reducer ran 20+ min).
     if hot_degree_threshold is None:
-        npart = int(g.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        hot_degree_threshold = max(256, (2 * g.num_edges()) // max(npart, 1))
+        hot_degree_threshold = max(256, int(8 * (2.0 * m / n)))
     hot = top_degree_vertices(g, hot_degree_threshold)
-    adj_w = adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw"))
-    wedge_rows = base.filter((F.size("wu") > 0) & (F.size("wv") > 0)).select(
+    wedge_rows = spread.filter((F.size("wu") > 0) & (F.size("wv") > 0)).select(
         "v", "u", "wv", F.explode("wu").alias("w")
     )
+    hot_w = F.broadcast(hot.withColumnRenamed("v", "w"))
     cold_hits = (
-        wedge_rows.join(F.broadcast(hot.withColumnRenamed("v", "w")), "w", "left_anti")
-        .join(adj_w.hint("SHUFFLE_HASH"), "w")
+        wedge_rows.join(hot_w, "w", "left_anti")
+        .join(adj_w, "w")
         .select("v", "u", F.size(F.array_intersect("nw", "wv")).cast("long").alias("hits"))
     )
     hot_hits = (
-        wedge_rows.join(F.broadcast(hot.withColumnRenamed("v", "w")), "w", "left_semi")
+        wedge_rows.join(hot_w, "w", "left_semi")
         .select("v", "u", "w", F.explode("wv").alias("x"))
-        .select(
-            "v",
-            "u",
-            F.least("w", "x").alias("a"),
-            F.greatest("w", "x").alias("b"),
-        )
-        .join(
-            g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).hint(
-                "SHUFFLE_HASH"
-            ),
-            ["a", "b"],
-        )
+        .select("v", "u", F.least("w", "x").alias("a"), F.greatest("w", "x").alias("b"))
+        .join(ekeys, ["a", "b"])
         .select("v", "u", F.lit(1).cast("long").alias("hits"))
     )
     cyc = (

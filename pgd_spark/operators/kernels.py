@@ -234,6 +234,18 @@ def _oriented_state(src: np.ndarray, dst: np.ndarray, need_member: bool = True):
     flip = (deg[dd] < deg[sd]) | ((deg[dd] == deg[sd]) & (dst < src))
     ov = np.where(flip, dd, sd)
     ou = np.where(flip, sd, dd)
+    # deterministic shuffle of the edge order: tasks slice CONTIGUOUS
+    # id ranges of these arrays, and input files cluster a hub's edges
+    # together — one Arrow batch then owns most of the kernel work on a
+    # skewed graph (observed: 58 s max task vs 1.9 s stage median).  A
+    # hash permutation gives every range slice a uniform mix; per-edge
+    # outputs are keyed by (v, u), so order is semantically free.
+    perm = np.argsort(
+        ov.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + ou.astype(np.uint64),
+        kind="stable",
+    )
+    ov = ov[perm]
+    ou = ou[perm]
     adjbm = np.zeros(0, dtype=np.uint8)
     ekeys_pad = np.zeros(0, dtype=np.int64)
     if need_member:
@@ -319,9 +331,19 @@ def make_range_kernel(
     graphs) or "loop" (the per-edge mark kernel — wins on dense ones);
     callers pick via VEC_MAX_AVG_DEG (see edge_graphlet_counts).
     """
-    import uuid
+    import hashlib
 
-    token = uuid.uuid4().hex
+    # CONTENT-derived state token: repeat censuses of the same graph
+    # (strategy comparisons, micro after macro, bench reps) reuse the
+    # per-machine mmap CSR instead of paying the ~30 s builder task
+    # again (a uuid-per-call token made every call a cold build).  The
+    # layout version bumps on any change to _STATE_NAMES semantics.
+    src, dst = bc_edges.value
+    h = hashlib.md5()
+    h.update(b"v2" + (b"m" if impl == "vec" else b"_"))
+    h.update(src.tobytes())
+    h.update(dst.tobytes())
+    token = h.hexdigest()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state = _CSR_CACHE.get(token)

@@ -28,14 +28,15 @@ def test_dd21_strategies_agree(spark, dd21):
 def test_dd21_distributed_hot_path_engaged_agrees(spark, dd21):
     """Force the hot-key threshold low enough that EVERY wedge vertex
     goes through the hot pair-enumeration path, and compare per-edge
-    counts to the broadcast kernel exactly; also check a mixed split."""
+    counts to the broadcast kernel exactly; also check a mixed split
+    and the default threshold."""
     from pgd_spark.operators.graphlets import _edge_counts_distributed
 
     a = {
         (r["v"], r["u"]): (r["tri"], r["cliq"], r["cyc"])
         for r in edge_graphlet_counts(dd21, strategy="broadcast").collect()
     }
-    for thr in (0, 5):  # all-hot, and a cold/hot mix (DD21 max degree 12)
+    for thr in (0, 5, None):  # all-hot, cold/hot mix (DD21 max deg 12), default
         b = {
             (r["v"], r["u"]): (r["tri"], r["cliq"], r["cyc"])
             for r in _edge_counts_distributed(dd21, hot_degree_threshold=thr).collect()
