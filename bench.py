@@ -80,10 +80,11 @@ def main() -> None:
         counts = edge_graphlet_counts(g, strategy="broadcast").persist()
         totals = macro_counts(g, counts=counts)
         dt = time.time() - t0
+        # nothing downstream reads the per-edge counts — unpersist every
+        # rep's DF so the loser doesn't stay cached for the whole suite
+        counts.unpersist()
         if best is None or dt < best:
             best = dt
-        else:
-            counts.unpersist()
     timings["graphlet_census"] = round(best, 3)
     extras["graphlet_edges_per_sec"] = round(m / timings["graphlet_census"], 1)
     extras["total_3_tris"] = totals["total_3_tris"]

@@ -123,14 +123,16 @@ def _edge_counts_distributed(
     * 4-cliques: TRIANGLE-PAIR ENUMERATION — explode the unordered
       pairs within each edge's triangle-node set, probe the edge-key
       set.  Keys are edge keys (near-uniform): no hot reducer.
-    * 4-cycles: wedge rows (v,u,w∈W_u) split by the far vertex's
-      degree.  COLD w (deg ≤ hot_degree_threshold): join w's
-      adjacency, array_intersect with wv — array-native sorted-merge,
-      ~10x cheaper per element than exploded rows, and the w-keyed
+    * 4-cycles: wedge rows (v,u,x∈W_v) — the SMALLER wedge set under
+      degree orientation (|W_v| ≤ |W_u| always; same gather choice as
+      the numpy kernel) — split by the far vertex's degree.  COLD x
+      (deg ≤ hot_degree_threshold): join x's adjacency,
+      array_intersect with the carried wu — array-native intersection,
+      ~10x cheaper per element than exploded rows, and the x-keyed
       shuffle is balanced because the threshold bounds both the
-      per-row cost AND any one w's total weight.  HOT w (celebrity
-      vertices): explode (w, x) ∈ {w} × W_v and probe the edge keys —
-      O(|wv|) per row on near-uniform keys, immune to hub degree.
+      per-row cost AND any one x's total weight.  HOT x (celebrity
+      vertices): explode (w, x) ∈ W_u × {x} and probe the edge keys —
+      O(|wu|) per row on near-uniform keys, immune to hub degree.
       Routing EVERYTHING through pair enumeration was tried and is
       balanced but ~10x slower: the pair stream on a 2M-edge skew-1.5
       graph is 10^10 rows, almost all probe misses that the sorted
@@ -141,12 +143,33 @@ def _edge_counts_distributed(
     never leave their mappers and partial aggs collapse in-pipeline);
     SHUFFLE_HASH beyond (sort-merge would sort the big streams).
 
-    Remaining hub limit (documented): the BASE adjacency join carries
-    one array row per vertex, so a vertex with degree ≫ 10^8 would
-    produce an oversized row there; per-edge work is already bounded
-    by the smaller endpoint via degree orientation.
+    Hub feasibility gate (replaces r2's documented-only limit): the
+    BASE adjacency join carries one array row per vertex, so a vertex
+    of degree d is a ~8d-byte row.  Chunking those rows (pagerank-style)
+    is NOT sound here — 4-clique counting explodes unordered pairs
+    within each edge's triangle-node set, and pairs that straddle two
+    chunks of a split array would be silently lost.  It is also
+    unnecessary: exact census work is Θ(Σ_e deg(smaller endpoint)), so
+    a degree-d hub alone costs Θ(d²) wedge visits — at the d ≈ 10^8
+    where a row would break (~800 MB), the work is ~10^16 visits,
+    infeasible for ANY exact engine (the reference's shared-memory CSR
+    included).  The row-size wall is therefore strictly BEHIND the
+    compute wall; we gate on the compute wall explicitly
+    (``max_exact_degree``) with an actionable error instead of letting
+    a quadratic-runtime job look like an engine row-size bug.
     """
     from pgd_spark.plans.skew import top_degree_vertices
+
+    maxdeg = g.max_degree()
+    max_exact_degree = 20_000_000
+    if maxdeg > max_exact_degree:
+        raise ValueError(
+            f"max degree {maxdeg:,} exceeds the exact-census feasibility "
+            f"gate ({max_exact_degree:,}): a hub of degree d costs Θ(d²) "
+            "wedge visits in ANY exact 3/4-graphlet engine. Use "
+            "approximate_census (edge-sampled Horvitz-Thompson) for "
+            "graphs with celebrity vertices at this scale."
+        )
 
     adj = g.adjacency()
     ori = g.oriented()
@@ -156,14 +179,22 @@ def _edge_counts_distributed(
     npart = int(g.spark.conf.get("spark.sql.shuffle.partitions", "32"))
     m = g.num_edges()
     n = max(g.num_vertices(), 1)
-    # adjacency lookup side (~8 B/entry, 2m entries): BROADCAST while it
-    # fits an executor.  The payoff is structural, not just a cheaper
+    # Broadcast budgets derive from the session's broadcast threshold
+    # (the knob admins size to executor memory), charging HashedRelation
+    # all-in costs — ~48 B/row overhead + payload — rather than raw
+    # payload bytes (ADVICE r2: the old fixed row-count cutoffs implied
+    # several hundred MB on typical executors).
+    bcast_bytes = max(
+        int(g.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864")), 0
+    )
+    # adjacency lookup side (n rows, 2m array entries): BROADCAST while
+    # it fits an executor.  The payoff is structural, not just a cheaper
     # join: with map-side adjacency joins, `base` keeps the balanced
     # (v,u) partitioning below — a SHUFFLE_HASH join on u would place
     # EVERY edge of a hub u (each carrying the hub's full wu array,
     # ~deg_u² entries ≈ 2 GB at deg 15k) in ONE partition, and the
     # tasks that later read it run 35-100x past their stage median.
-    small_adj = m <= 10_000_000
+    small_adj = 48 * n + 16 * 2 * m <= bcast_bytes
     if small_adj:
         ori = ori.repartition(npart, "v", "u")
 
@@ -213,10 +244,11 @@ def _edge_counts_distributed(
     )
     base = base.persist()
 
-    # edge-key probe side: ~16 B/edge broadcast budget
+    # edge-key probe side: ~64 B/edge all-in (16 B key payload +
+    # hash-map entry + row overhead); beyond the threshold a
+    # SHUFFLE_HASH join keeps executor memory bounded
     ekeys = g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    ekeys = F.broadcast(ekeys) if m <= 20_000_000 else ekeys.hint("SHUFFLE_HASH")
-    adj_w = _side(adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw")))
+    ekeys = F.broadcast(ekeys) if m * 64 <= bcast_bytes else ekeys.hint("SHUFFLE_HASH")
 
     # broadcast regime: base inherited the balanced (v,u) partitioning.
     # SHUFFLE_HASH regime: the u-keyed join clustered hub edges — spread
@@ -238,6 +270,15 @@ def _edge_counts_distributed(
     )
 
     # 4-cycles: hybrid by wedge-vertex temperature (see docstring).
+    # EXPLODE THE Wv SIDE: degree orientation (deg_v ≤ deg_u) makes
+    # |Wv| = deg_v−tri−1 ≤ |Wu| unconditionally, so enumerating x ∈ Wv
+    # and intersecting N(x) with the carried Wu array is the cheaper
+    # gather — the same choice the numpy kernel makes per edge
+    # (kernels.py:96-105); the r2 plan exploded Wu and its intersect
+    # stage alone was half the 5M-edge proof wall time.  The carried
+    # array is now the bigger Wu, but in the broadcast-adjacency regime
+    # wedge rows never cross a shuffle (map-side join), and in the
+    # SHUFFLE_HASH regime only the x-keyed repartition moves them once.
     # Threshold: a healthy multiple of the average degree — hot enough
     # to catch celebrity vertices, low enough that the cold intersect
     # cost per row stays bounded (the old 2m/npart default never fired:
@@ -246,17 +287,18 @@ def _edge_counts_distributed(
         hot_degree_threshold = max(256, int(8 * (2.0 * m / n)))
     hot = top_degree_vertices(g, hot_degree_threshold)
     wedge_rows = spread.filter((F.size("wu") > 0) & (F.size("wv") > 0)).select(
-        "v", "u", "wv", F.explode("wu").alias("w")
+        "v", "u", "wu", F.explode("wv").alias("x")
     )
-    hot_w = F.broadcast(hot.withColumnRenamed("v", "w"))
+    hot_x = F.broadcast(hot.withColumnRenamed("v", "x"))
+    adj_x = _side(adj.select(F.col("v").alias("x"), F.col("nbrs").alias("nx")))
     cold_hits = (
-        wedge_rows.join(hot_w, "w", "left_anti")
-        .join(adj_w, "w")
-        .select("v", "u", F.size(F.array_intersect("nw", "wv")).cast("long").alias("hits"))
+        wedge_rows.join(hot_x, "x", "left_anti")
+        .join(adj_x, "x")
+        .select("v", "u", F.size(F.array_intersect("nx", "wu")).cast("long").alias("hits"))
     )
     hot_hits = (
-        wedge_rows.join(hot_w, "w", "left_semi")
-        .select("v", "u", "w", F.explode("wv").alias("x"))
+        wedge_rows.join(hot_x, "x", "left_semi")
+        .select("v", "u", "x", F.explode("wu").alias("w"))
         .select("v", "u", F.least("w", "x").alias("a"), F.greatest("w", "x").alias("b"))
         .join(ekeys, ["a", "b"])
         .select("v", "u", F.lit(1).cast("long").alias("hits"))

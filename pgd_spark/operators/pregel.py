@@ -18,12 +18,17 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 from pgd_spark.graph import Graph
+
+_aqe_lock = threading.RLock()
+_aqe_depth = 0
+_aqe_saved = None
 
 
 @contextmanager
@@ -33,13 +38,56 @@ def suspend_aqe(spark):
     co-partitioning that keeps iterations exchange-free, and its
     re-planning added ~4 s per materialization (measured on the 12M-edge
     scaling graph).  Skew inside these loops is handled structurally
-    (map-side partial aggregation bounds any hot reduce key)."""
-    was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    (map-side partial aggregation bounds any hot reduce key).
+
+    Re-entrant: nested suspensions (e.g. kcore inside a caller's loop)
+    restore the ORIGINAL value once the outermost exits; the counter is
+    lock-guarded so overlapping loops on separate threads of one
+    SparkSession can't restore a stale value.  (The conf itself is
+    session-global — a concurrent unrelated query still observes
+    AQE off for the duration; documented single-session assumption.)"""
+    global _aqe_depth, _aqe_saved
+    with _aqe_lock:
+        if _aqe_depth == 0:
+            _aqe_saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _aqe_depth += 1
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", was)
+        with _aqe_lock:
+            _aqe_depth -= 1
+            if _aqe_depth == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", _aqe_saved)
+
+
+def auto_npart(spark, work_rows: int, target_rows_per_part: int = 400_000) -> int:
+    """Shuffle width for an iterative loop, sized to the per-round work
+    volume instead of inherited from ``spark.sql.shuffle.partitions``.
+
+    At web scale the session conf is the cap (a 10^11-entry adjacency
+    wants every partition the cluster offers); on small graphs the conf
+    width is pure per-task overhead — 20 stages × 32 near-empty tasks
+    measured 3× slower than right-sized ones on a 20k-vertex graph.
+    With AQE suspended inside the loops (see :func:`suspend_aqe`) this
+    static sizing replaces AQE's runtime coalescing."""
+    conf_npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    want = max(1, -(-work_rows // max(target_rows_per_part, 1)))
+    return max(1, min(conf_npart, want))
+
+
+@contextmanager
+def pinned_shuffle(spark, npart: int):
+    """Pin ``spark.sql.shuffle.partitions`` for a loop body so every
+    groupBy lands on the SAME width as the loop's persisted tables —
+    a width mismatch would re-exchange both join sides every round.
+    Save/restore nests correctly (each level restores what it saw)."""
+    was = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", was)
 
 
 # --------------------------------------------------------------- utilities
@@ -69,34 +117,48 @@ def _nonconverged(what: str, max_iter: int, resumable: bool) -> None:
 
 def _cut_lineage(df: DataFrame, checkpoint_dir: str | None, algo: str, it: int,
                  log: IterationLog | None = None) -> DataFrame:
-    """Materialize per-iteration state; parquet when resumable, else local."""
+    """Materialize per-iteration state; a durable table (format via
+    PGD_SPARK_TABLE_FORMAT — parquet/delta/iceberg, see plans.tables)
+    when resumable, else localCheckpoint."""
     if checkpoint_dir:
+        from pgd_spark.plans.tables import read_table, write_table
+
         path = os.path.join(checkpoint_dir, algo, f"iter={it:05d}")
-        df.write.mode("overwrite").parquet(path)
+        write_table(df, path)
         if log is not None:
             meta = os.path.join(checkpoint_dir, algo, "metrics.jsonl")
             os.makedirs(os.path.dirname(meta), exist_ok=True)
             with open(meta, "a") as f:
                 f.write(json.dumps(log.entries[-1] if log.entries else {"iter": it}) + "\n")
-        return df.sparkSession.read.parquet(path)
+        return read_table(df.sparkSession, path)
     return df.localCheckpoint(eager=True)
 
 
 def _latest_checkpoint(spark, checkpoint_dir: str | None, algo: str):
+    from pgd_spark.plans.tables import read_table, table_format
+
     if not checkpoint_dir:
         return None, -1
     base = os.path.join(checkpoint_dir, algo)
     if not os.path.isdir(base):
         return None, -1
+
+    def _complete(d: str) -> bool:
+        # completeness marker: parquet's _SUCCESS; delta/iceberg commit
+        # atomically via their logs, so directory presence suffices
+        if table_format() == "parquet":
+            return os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        return True
+
     iters = sorted(
         int(d.split("=")[1])
         for d in os.listdir(base)
-        if d.startswith("iter=") and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        if d.startswith("iter=") and _complete(d)
     )
     if not iters:
         return None, -1
     it = iters[-1]
-    return spark.read.parquet(os.path.join(base, f"iter={it:05d}")), it
+    return read_table(spark, os.path.join(base, f"iter={it:05d}")), it
 
 
 # ---------------------------------------------------------------- PageRank
@@ -116,7 +178,9 @@ def pagerank_prepare(g: Graph, chunk: int = 65536) -> DataFrame:
     chunk row.  Chunking changes nothing numerically (the downstream
     groupBy re-sums all chunks' contributions).
     """
-    npart = int(g.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # iteration width sized to the exploded contribution volume (2m
+    # entries/round), capped by the session conf — see auto_npart
+    npart = auto_npart(g.spark, 2 * g.num_edges())
     sym = g.symmetric()
     deg = g.degrees()
     adj = (
@@ -139,7 +203,7 @@ def pagerank(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     log: IterationLog | None = None,
-    checkpoint_interval: int = 10,
+    checkpoint_interval: int = 8,
     adj: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank on the undirected graph (each edge acts
@@ -184,13 +248,33 @@ def pagerank(
         if adj is None:
             adj = pagerank_prepare(g)
         log = log if log is not None else IterationLog()
+        # every per-iteration groupBy must land on the adjacency
+        # table's width or the join re-exchanges both sides each round
+        with pinned_shuffle(spark, adj.rdd.getNumPartitions()):
+            return _pagerank_loop(
+                g, adj, own_adj, alpha, tol, max_iter, checkpoint_dir, log,
+                checkpoint_interval, n, deg,
+            )
 
+
+def _pagerank_loop(
+    g, adj, own_adj, alpha, tol, max_iter, checkpoint_dir, log,
+    checkpoint_interval, n, deg,
+):
+    spark = g.spark
+    try:
         ranks, start_it = _latest_checkpoint(spark, checkpoint_dir, "pagerank")
         if ranks is None:
             ranks = deg.select("v", F.lit(1.0 / n).alias("rank"))
             start_it = -1
 
         base = 1.0 - alpha
+        # Chain depth trades per-job fixed cost against DRIVER-side
+        # analysis, which is O(depth²) because every DataFrame op
+        # re-analyzes the accumulated plan (measured: ~5 s of driver
+        # CPU to build a 20-deep chain vs <0.5 s for 4×5-deep blocks).
+        # The default interval sits at that measured sweet spot; tol=0
+        # additionally skips all convergence arithmetic at cuts.
         k = max(checkpoint_interval, 1)
         prev_cut = ranks  # state at the last materialization (L1-delta base)
         converged = tol <= 0
@@ -216,13 +300,23 @@ def pagerank(
             cut = bool(checkpoint_dir) or last or (it - start_it) % k == k - 1
             err = None
             if cut:
-                new_ranks = _cut_lineage(new_ranks, checkpoint_dir, "pagerank", it, log)
                 if tol > 0:
-                    err = float(
+                    # fold the k-step L1 delta into the cut job: join
+                    # the (materialized) previous cut lazily and read
+                    # it back as an Observation metric — zero extra
+                    # jobs per cut.  Both sides hash on v, so the
+                    # join adds no exchange and the output keeps the
+                    # v-partitioning the next iteration relies on.
+                    obs = Observation()
+                    new_ranks = (
                         new_ranks.join(prev_cut.withColumnRenamed("rank", "old"), "v")
-                        .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("e"))
-                        .first()["e"]
+                        .observe(obs, F.sum(F.abs(F.col("rank") - F.col("old"))).alias("e"))
+                        .select("v", "rank")
                     )
+                    new_ranks = _cut_lineage(new_ranks, checkpoint_dir, "pagerank", it, log)
+                    err = float(obs.get["e"] or 0.0)
+                else:
+                    new_ranks = _cut_lineage(new_ranks, checkpoint_dir, "pagerank", it, log)
                 prev_cut = new_ranks
             log.add(algo="pagerank", iter=it, l1_delta=err, seconds=time.time() - t0)
             ranks = new_ranks
@@ -238,9 +332,10 @@ def pagerank(
                 RuntimeWarning,
                 stacklevel=2,
             )
+        return ranks
+    finally:
         if own_adj:
             adj.unpersist()  # ranks is materialized; the iteration table can go
-        return ranks
 
 
 # ----------------------------------------------------- connected components
@@ -250,6 +345,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     log: IterationLog | None = None,
     algorithm: str = "hashmin",
+    check_interval: int = 3,
 ) -> DataFrame:
     """Connected components; [v, component] with component = min vertex
     id in the component (exact).
@@ -261,6 +357,15 @@ def connected_components(
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14): O(log n) rounds regardless of diameter — the web-scale
     path for high-diameter graphs.
+
+    Job economy: ``check_interval`` rounds chain LAZILY into ONE Spark
+    job (forced to 1 when ``checkpoint_dir`` makes per-round durability
+    the point), and the fixpoint check rides the materializing action
+    as an ``Observation`` metric on the LAST chained round's delta —
+    zero extra jobs per round.  A fixpoint of hashmin stays fixed, so
+    "last round changed nothing" ⇔ fixpoint regardless of where inside
+    the block it was reached; the loop may run up to interval-1 no-op
+    rounds past true convergence (cheap: they're chained, not jobs).
     """
     if algorithm == "two_phase":
         return _cc_two_phase(g, max_iter, checkpoint_dir, log)
@@ -273,26 +378,41 @@ def connected_components(
         labels = g.degrees().select("v", F.col("v").alias("component"))
         start_it = -1
 
+    # self-loop-augmented edge table: one round becomes a SINGLE
+    # join+agg (min over N(v) ∪ {v}) that references the previous
+    # iterate exactly once — chained rounds therefore compose into a
+    # linear plan.  (The naive "min with own label" formulation
+    # references the iterate twice per round; Spark re-executes
+    # self-referenced subplans, so k chained rounds would cost 2^k.)
+    edges_plus = edges.unionByName(g.degrees().select("v", F.col("v").alias("w")))
+    k = 1 if checkpoint_dir else max(check_interval, 1)
+    it = start_it + 1
     with suspend_aqe(spark):
-        for it in range(start_it + 1, max_iter):
+        while it < max_iter:
             t0 = time.time()
-            nbr_min = (
-                labels.join(edges, "v")
-                .groupBy(F.col("w").alias("v"))
-                .agg(F.min("component").alias("nbr_min"))
+            kk = min(k, max_iter - it)
+            cur = labels
+            for _ in range(kk):
+                cur = (
+                    cur.select("v", "component").join(edges_plus, "v")
+                    .groupBy(F.col("w").alias("v"))
+                    .agg(F.min("component").alias("component"))
+                )
+            # last-round delta: join the block's input back (2× the
+            # chain's leaves total — NOT per round — still linear)
+            obs = Observation()
+            observed = cur.join(
+                labels.select("v", F.col("component").alias("prev")), "v"
+            ).observe(
+                obs, F.sum((F.col("component") != F.col("prev")).cast("long")).alias("changed")
+            ).select("v", "component")
+            labels = _cut_lineage(observed, checkpoint_dir, "cc", it + kk - 1, log)
+            changed = int(obs.get["changed"] or 0)
+            log.add(
+                algo="cc", iter=it + kk - 1, rounds=kk, changed=changed,
+                seconds=time.time() - t0,
             )
-            new_labels = (
-                labels.join(nbr_min, "v", "left")
-                .select("v", F.least("component", F.coalesce("nbr_min", "component")).alias("component"))
-            )
-            new_labels = _cut_lineage(new_labels, checkpoint_dir, "cc", it, log)
-            changed = (
-                new_labels.join(labels.withColumnRenamed("component", "old"), "v")
-                .filter(F.col("component") != F.col("old"))
-                .count()
-            )
-            log.add(algo="cc", iter=it, changed=int(changed), seconds=time.time() - t0)
-            labels = new_labels
+            it += kk
             if changed == 0:
                 return labels
     # hashmin propagates min labels one hop per round: exhausting
@@ -396,6 +516,7 @@ def label_propagation(
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
     log: IterationLog | None = None,
+    check_interval: int = 3,
 ) -> DataFrame:
     """Synchronous LPA, fully deterministic: every vertex adopts the
     most frequent label among its neighbors; ties break to the SMALLEST
@@ -406,6 +527,13 @@ def label_propagation(
     synchronous LPA can 2-cycle on bipartite-ish structure, so the
     fixed round count IS the semantic (the standard practice) — the
     result is "labels after max_iter rounds", deterministic either way.
+
+    Job economy mirrors :func:`connected_components`: chained rounds +
+    an Observation on the LAST round's delta.  Early stop only on a
+    PROVEN fixpoint (zero last-round delta — a fixpoint of the
+    deterministic sync update stays fixed, so skipping the remaining
+    rounds returns exactly the round-max_iter labels; an oscillation
+    never shows a zero last-round delta and runs the full budget).
     """
     spark = g.spark
     edges = g.symmetric()
@@ -416,33 +544,49 @@ def label_propagation(
         labels = g.degrees().select("v", F.col("v").alias("label"))
         start_it = -1
 
+    k = 1 if checkpoint_dir else max(check_interval, 1)
+    it = start_it + 1
     with suspend_aqe(spark):
-        for it in range(start_it + 1, max_iter):
+        while it < max_iter:
             t0 = time.time()
-            votes = (
-                labels.join(edges, "v")
-                .groupBy(F.col("w").alias("v"), "label")
-                .agg(F.count("*").alias("cnt"))
+            kk = min(k, max_iter - it)
+            cur = labels
+            prev_iterate = labels
+            for _ in range(kk):
+                # one round = ONE reference to the previous iterate
+                # (linear chaining; see connected_components).  Every
+                # vertex has degree ≥ 1 by construction (vertices are
+                # defined by the edge set), so the vote agg reaches all
+                # of them — no keep-own-label reconciliation join.
+                votes = (
+                    cur.select("v", "label").join(edges, "v")
+                    .groupBy(F.col("w").alias("v"), "label")
+                    .agg(F.count("*").alias("cnt"))
+                )
+                w_best = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("label").asc())
+                prev_iterate = cur
+                cur = (
+                    votes.withColumn("rn", F.row_number().over(w_best))
+                    .filter(F.col("rn") == 1)
+                    .select("v", "label")
+                )
+            # genuine LAST-round delta (a block-start compare would
+            # mistake a period-dividing-kk oscillation for a fixpoint):
+            # referencing the second-to-last iterate twice costs one
+            # extra chain execution in total — still linear.
+            obs = Observation()
+            observed = cur.join(
+                prev_iterate.select("v", F.col("label").alias("prev")), "v"
+            ).observe(
+                obs, F.sum((F.col("label") != F.col("prev")).cast("long")).alias("changed")
+            ).select("v", "label")
+            labels = _cut_lineage(observed, checkpoint_dir, "lpa", it + kk - 1, log)
+            changed = int(obs.get["changed"] or 0)
+            log.add(
+                algo="lpa", iter=it + kk - 1, rounds=kk, changed=changed,
+                seconds=time.time() - t0,
             )
-            w_best = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("label").asc())
-            best = (
-                votes.withColumn("rn", F.row_number().over(w_best))
-                .filter(F.col("rn") == 1)
-                .select("v", "label")
-            )
-            new_labels = (
-                labels.select("v").join(best.withColumnRenamed("label", "nl"), "v", "left")
-                .join(labels.withColumnRenamed("label", "old"), "v")
-                .select("v", F.coalesce("nl", "old").alias("label"))
-            )
-            new_labels = _cut_lineage(new_labels, checkpoint_dir, "lpa", it, log)
-            changed = (
-                new_labels.join(labels.withColumnRenamed("label", "old"), "v")
-                .filter(F.col("label") != F.col("old"))
-                .count()
-            )
-            log.add(algo="lpa", iter=it, changed=int(changed), seconds=time.time() - t0)
-            labels = new_labels
+            it += kk
             if changed == 0:
                 break
     return labels

@@ -48,6 +48,7 @@ def get_spark(
         # local[N] → N-ish partitions; AQE coalesces small stages further.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+    mem_pinned = "PGD_SPARK_DRIVER_MEM" in os.environ
     driver_mem = os.environ.get("PGD_SPARK_DRIVER_MEM", "48g")
     # -Xms = -Xmx: G1's adaptive heap SHRINKS the committed heap after
     # GC cycles, and on this virtualized host re-faulting the returned
@@ -57,9 +58,12 @@ def get_spark(
     # can additionally set PGD_SPARK_PRETOUCH=1 to pre-fault the whole
     # heap at startup (AlwaysPreTouch) so even the first timed run is
     # steady-state; too slow (~9 s/GiB here) to default on for tests.
-    jvm_opts = f"-Xms{driver_mem}"
+    # Only pin -Xms when the caller EXPLICITLY sized the heap
+    # (PGD_SPARK_DRIVER_MEM set): forcing -Xms48g by default would fail
+    # JVM startup on hosts whose cgroup limit is below the default -Xmx.
+    jvm_opts = f"-Xms{driver_mem}" if mem_pinned else ""
     if os.environ.get("PGD_SPARK_PRETOUCH") == "1":
-        jvm_opts += " -XX:+AlwaysPreTouch"
+        jvm_opts = (jvm_opts + " -XX:+AlwaysPreTouch").strip()
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -70,10 +74,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_mem)
-        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # broadcast budget: operators derive their broadcast-vs-shuffle
+        # cutoffs from this (graphlets.py), so it states the per-JVM
+        # memory truth — 384 MB in single-JVM local mode (everything
+        # shares one big heap; "broadcast" is a reference, not a copy),
+        # the conservative 64 MB default anywhere else where each
+        # executor must hold its own copy next to shuffle buffers.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str((384 if master.startswith("local") else 64) * 1024 * 1024),
+        )
     )
+    if jvm_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     # shuffle/spill to tmpfs when available — the sandbox's /tmp is a
     # spinning-rust-class virtual disk and serializes shuffle-heavy
     # stages; on a real cluster this is the local-SSD scratch dir

@@ -27,9 +27,11 @@ deriver over the full table to repair.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pgd_spark.plans.tables import table_format
 from pgd_spark.sources.transcripts import edges_from_transcripts
 
 TRANSCRIPT_SCHEMA = (
@@ -42,6 +44,9 @@ _STORE_SCHEMA = "src long, dst long, epoch int"
 def read_edge_store(spark: SparkSession, edge_store: str) -> DataFrame:
     """The canonical edge view over the epoch-partitioned store
     (explicit schema: an empty/absent store reads as zero rows)."""
+    fmt = table_format()
+    if fmt != "parquet":
+        return spark.read.format(fmt).load(edge_store).select("src", "dst")
     return (
         spark.read.schema(_STORE_SCHEMA)
         .option("basePath", edge_store)
@@ -76,18 +81,43 @@ def streaming_edge_ingest(
         s = batch_df.sparkSession
         g, _ = edges_from_transcripts(batch_df, vmap=vmap)
         new_edges = g.edges
-        if os.path.isdir(edge_store):
-            existing = (
-                s.read.schema(_STORE_SCHEMA)
-                .option("basePath", edge_store)
-                .parquet(edge_store)
-                .filter(F.col("epoch") != int(epoch_id))  # never self-mask on retry
-                .select("src", "dst")
+        fmt = table_format()
+        if fmt == "iceberg":
+            raise NotImplementedError(
+                "iceberg streaming store needs a configured catalog "
+                "(epoch-partitioned table + overwrite-by-filter); "
+                "use parquet or delta for path-based stores"
             )
+        if os.path.isdir(edge_store):
+            if fmt == "parquet":
+                existing = (
+                    s.read.schema(_STORE_SCHEMA)
+                    .option("basePath", edge_store)
+                    .parquet(edge_store)
+                )
+            else:
+                existing = s.read.format(fmt).load(edge_store)
+            existing = existing.filter(
+                F.col("epoch") != int(epoch_id)  # never self-mask on retry
+            ).select("src", "dst")
             new_edges = new_edges.join(existing, ["src", "dst"], "left_anti")
-        new_edges.write.mode("overwrite").parquet(
-            os.path.join(edge_store, f"epoch={int(epoch_id)}")
-        )
+        if fmt == "parquet":
+            # retry-idempotent by LAYOUT: overwrite targets exactly this
+            # epoch's directory
+            new_edges.write.mode("overwrite").parquet(
+                os.path.join(edge_store, f"epoch={int(epoch_id)}")
+            )
+        else:
+            # delta: same epoch-partitioned layout, retry-idempotent via
+            # transactional overwrite-by-filter on this epoch only
+            (
+                new_edges.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.format(fmt)
+                .mode("overwrite")
+                .option("replaceWhere", f"epoch = {int(epoch_id)}")
+                .partitionBy("epoch")
+                .save(edge_store)
+            )
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
@@ -96,3 +126,99 @@ def streaming_edge_ingest(
         .start()
     )
     return q
+
+
+_STAGE = "_compact_stage"  # leading "_": invisible to Spark file listing
+_TRASH = ".compact_trash"
+
+
+def compact_edge_store(
+    spark: SparkSession, edge_store: str, keep_last: int = 1, min_epochs: int = 4
+) -> int:
+    """Merge old epoch directories into one (parquet store maintenance).
+
+    Many micro-batches leave many tiny ``epoch=N`` directories; each
+    later anti-join then lists and opens every one.  Compaction rewrites
+    all but the newest ``keep_last`` epochs into a single directory
+    keyed by the OLDEST compacted epoch id.  The anti-join contract is
+    preserved: the store's (src, dst) set is unchanged, and epoch ids
+    only ever shrink toward older ids, so a future batch N (monotonic
+    from the streaming checkpoint) can never collide with a compacted
+    id.  Run it between streams or while the query is idle —
+    ``keep_last ≥ 1`` keeps the newest epoch(s) untouched as the
+    in-flight safety margin.
+
+    Crash safety (no multi-dir atomic rename on a filesystem): write
+    the merged data to a hidden staging dir first, then move victim
+    epochs to a hidden trash dir, then publish the staging dir with one
+    rename.  Every prefix of that sequence is recoverable — a fresh
+    call ROLLS FORWARD a crashed compaction before starting a new one
+    (hidden dirs are invisible to readers, so a crashed run is at worst
+    temporarily-missing old epochs, never duplicates or corruption).
+
+    Returns the number of epoch directories removed (0 = nothing to do).
+    """
+    if table_format() != "parquet":
+        return 0  # delta/iceberg: use the table's own OPTIMIZE/rewrite
+    if not os.path.isdir(edge_store):
+        return 0
+    _roll_forward(edge_store)
+    epochs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(edge_store)
+        if d.startswith("epoch=")
+    )
+    victims = epochs[: len(epochs) - max(keep_last, 0)]
+    if len(victims) < max(min_epochs, 2):
+        return 0
+    target = victims[0]
+    stage = os.path.join(edge_store, _STAGE)
+    # each epoch holds only never-before-seen edges (anti-join), so the
+    # union is duplicate-free; coalesce-by-repartition keeps file count
+    # proportional to data, not to batch count
+    merged = (
+        spark.read.schema(_STORE_SCHEMA)
+        .option("basePath", edge_store)
+        .parquet(*[os.path.join(edge_store, f"epoch={e}") for e in victims])
+        .select("src", "dst")
+    )
+    merged.write.mode("overwrite").parquet(stage)
+    # stage is complete (atomic _SUCCESS) — record intent, then swap
+    import json
+
+    with open(os.path.join(stage, "_COMPACT_TARGET"), "w") as f:
+        json.dump({"target": target, "victims": victims}, f)
+    trash = os.path.join(edge_store, _TRASH)
+    os.makedirs(trash, exist_ok=True)
+    for e in victims:
+        os.rename(
+            os.path.join(edge_store, f"epoch={e}"), os.path.join(trash, f"epoch={e}")
+        )
+    os.rename(stage, os.path.join(edge_store, f"epoch={target}"))
+    shutil.rmtree(trash, ignore_errors=True)
+    return len(victims)
+
+
+def _roll_forward(edge_store: str) -> None:
+    """Complete a compaction that crashed mid-swap (see above)."""
+    import json
+
+    stage = os.path.join(edge_store, _STAGE)
+    trash = os.path.join(edge_store, _TRASH)
+    marker = os.path.join(stage, "_COMPACT_TARGET")
+    if os.path.exists(marker) and os.path.exists(os.path.join(stage, "_SUCCESS")):
+        intent = json.load(open(marker))
+        # the staged data supersedes EVERY victim — wherever the crash
+        # landed (victims not yet moved, moved to trash, or a stale
+        # target dir), remove them all, then publish the stage
+        for e in intent["victims"]:
+            for base in (edge_store, trash):
+                d = os.path.join(base, f"epoch={e}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+        os.rename(stage, os.path.join(edge_store, f"epoch={intent['target']}"))
+    elif os.path.isdir(stage):
+        # incomplete stage: compaction never committed, victims were
+        # never touched (moves only happen after the marker lands)
+        shutil.rmtree(stage)
+    shutil.rmtree(trash, ignore_errors=True)

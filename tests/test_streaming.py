@@ -102,3 +102,108 @@ def test_streaming_retry_of_same_epoch_is_idempotent(spark, tmp_path):
 
     after = {(r["src"], r["dst"]) for r in read_edge_store(spark, store).collect()}
     assert after == first
+
+
+def test_compaction_preserves_store_and_reduces_dirs(spark, tmp_path):
+    """10 micro-batch epochs → compact → same edge set, fewer epoch
+    dirs, and a subsequent ingest batch still anti-joins correctly."""
+    from pgd_spark.streaming.edges import compact_edge_store
+    from pgd_spark.streaming import edges as E
+    from pyspark.sql import functions as F
+
+    t_all = generate_transcripts(spark, 44).cache()
+    vm = vertex_map(t_all).cache()
+    store = str(tmp_path / "edges")
+
+    # hand-drive 10 epochs of the merge the way foreachBatch would
+    convs = sorted(r["conv_id"] for r in t_all.select("conv_id").distinct().collect())
+    slices = [convs[i::11] for i in range(11)]
+
+    def run_epoch(conv_ids, epoch):
+        batch = t_all.filter(F.col("conv_id").isin(conv_ids))
+        g, _ = edges_from_transcripts(batch, vmap=vm)
+        new_edges = g.edges
+        if os.path.isdir(store):
+            existing = (
+                spark.read.schema(E._STORE_SCHEMA)
+                .option("basePath", store)
+                .parquet(store)
+                .filter(F.col("epoch") != epoch)
+                .select("src", "dst")
+            )
+            new_edges = new_edges.join(existing, ["src", "dst"], "left_anti")
+        new_edges.write.mode("overwrite").parquet(os.path.join(store, f"epoch={epoch}"))
+
+    for i in range(10):
+        run_epoch(slices[i], i)
+    before = {(r["src"], r["dst"]) for r in read_edge_store(spark, store).collect()}
+    n_dirs_before = len([d for d in os.listdir(store) if d.startswith("epoch=")])
+    assert n_dirs_before == 10
+
+    removed = compact_edge_store(spark, store, keep_last=1)
+    assert removed == 9
+    after_rows = read_edge_store(spark, store).collect()
+    after = {(r["src"], r["dst"]) for r in after_rows}
+    assert len(after_rows) == len(after), "compaction introduced duplicates"
+    assert after == before
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("epoch="))
+    assert dirs == ["epoch=0", "epoch=9"], dirs
+
+    # the anti-join contract survives: ingest one more epoch
+    run_epoch(slices[10], 10)
+    final_rows = read_edge_store(spark, store).collect()
+    final = {(r["src"], r["dst"]) for r in final_rows}
+    assert len(final_rows) == len(final)
+    want_g, _ = edges_from_transcripts(t_all, vmap=vm)
+    want = {(r["src"], r["dst"]) for r in want_g.edges.collect()}
+    assert final == want
+
+    # idempotence / nothing-to-do path
+    assert compact_edge_store(spark, store, keep_last=1, min_epochs=4) == 0
+
+
+def test_compaction_roll_forward_after_crash(spark, tmp_path):
+    """A compaction killed between the victim moves and the publish
+    rename must be completed by the next call with no loss or dupes."""
+    import json
+    import shutil
+
+    from pgd_spark.streaming import edges as E
+    from pgd_spark.streaming.edges import compact_edge_store
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "edges")
+    for e in range(5):
+        df = spark.range(e * 3, e * 3 + 3).select(
+            F.col("id").alias("src"), (F.col("id") + 100).alias("dst")
+        )
+        df.write.mode("overwrite").parquet(os.path.join(store, f"epoch={e}"))
+    before = {(r["src"], r["dst"]) for r in read_edge_store(spark, store).collect()}
+
+    # simulate the crash window by hand: stage written + marker, one
+    # victim moved to trash, one victim still in place, no publish
+    victims = [0, 1, 2, 3]
+    stage = os.path.join(store, E._STAGE)
+    merged = (
+        spark.read.schema(E._STORE_SCHEMA)
+        .option("basePath", store)
+        .parquet(*[os.path.join(store, f"epoch={e}") for e in victims])
+        .select("src", "dst")
+    )
+    merged.write.mode("overwrite").parquet(stage)
+    with open(os.path.join(stage, "_COMPACT_TARGET"), "w") as f:
+        json.dump({"target": 0, "victims": victims}, f)
+    trash = os.path.join(store, E._TRASH)
+    os.makedirs(trash, exist_ok=True)
+    os.rename(os.path.join(store, "epoch=1"), os.path.join(trash, "epoch=1"))
+    shutil.rmtree(os.path.join(store, "epoch=0"))  # partially swapped
+
+    # next maintenance call rolls the crashed compaction forward
+    compact_edge_store(spark, store, keep_last=1)
+    rows = read_edge_store(spark, store).collect()
+    got = {(r["src"], r["dst"]) for r in rows}
+    assert len(rows) == len(got)
+    assert got == before
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("epoch="))
+    assert dirs == ["epoch=0", "epoch=4"], dirs
+    assert not os.path.isdir(stage) and not os.path.isdir(trash)
