@@ -360,7 +360,9 @@ def q_emb_lsh_topk(spark, sf_dir):
         embs.filter(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return lsh_cosine_topk(embs, queries, k=5, bits=8, tables=6).select(
+    # dim passed explicitly (testdata embeddings are 64-wide) so the
+    # operator skips its driver-side first() fallback
+    return lsh_cosine_topk(embs, queries, k=5, bits=8, tables=6, dim=64).select(
         "query_id", "vec_id", "rank"
     )
 

@@ -63,7 +63,30 @@ def main() -> None:
 
         return _T()
 
-    # 1. edge derivation + normalization (scan → self-join → distinct)
+    # Variance control (VERDICT r2): this VM's throughput swings ~2x
+    # run to run, so single draws mismeasure the engine.  Side-effect-
+    # free queries run `reps` times; reported time = MEDIAN, and the
+    # per-query [min, max] spread lands in extras["spread"] so readers
+    # can judge how much any one number is worth.
+    spreads: dict[str, list[float]] = {}
+    extras["spread"] = spreads
+
+    def timed_reps(name: str, fn, reps: int = 3):
+        times = []
+        last = None
+        for _ in range(reps):
+            t0 = time.time()
+            last = fn()
+            times.append(time.time() - t0)
+        times.sort()
+        # lower median: true median at odd reps, best-of-2 at reps=2
+        timings[name] = round(times[(len(times) - 1) // 2], 3)
+        spreads[name] = [round(times[0], 3), round(times[-1], 3)]
+        return last
+
+    # 1. edge derivation + normalization (scan → self-join → distinct).
+    # Single draw by design: the derived graph caches its edge table, so
+    # a second rep would measure the cache, not the derivation.
     with timed("derive_edges"):
         g = copurchase_graph(spark, sf_dir)
         m = g.num_edges()
@@ -71,21 +94,16 @@ def main() -> None:
     extras["graph_edges"] = m
     extras["graph_vertices"] = n
 
-    # 2. full exact 3/4-graphlet census (PGD headline metric);
-    # best-of-2 — this VM's multithreaded throughput swings ~2x run to
-    # run, and a single draw mismeasures the engine
-    best = None
-    for _ in range(2):
-        t0 = time.time()
+    # 2. full exact 3/4-graphlet census (PGD headline metric)
+    def run_census():
         counts = edge_graphlet_counts(g, strategy="broadcast").persist()
         totals = macro_counts(g, counts=counts)
-        dt = time.time() - t0
         # nothing downstream reads the per-edge counts — unpersist every
-        # rep's DF so the loser doesn't stay cached for the whole suite
+        # rep's DF so no rep stays cached for the whole suite
         counts.unpersist()
-        if best is None or dt < best:
-            best = dt
-    timings["graphlet_census"] = round(best, 3)
+        return totals
+
+    totals = timed_reps("graphlet_census", run_census, reps=3)
     extras["graphlet_edges_per_sec"] = round(m / timings["graphlet_census"], 1)
     extras["total_3_tris"] = totals["total_3_tris"]
     extras["total_4_clique"] = totals["total_4_clique"]
@@ -99,10 +117,14 @@ def main() -> None:
     gd = random_graph(spark, 240_000, 2_000_000, seed=11, skew=0.3)
     gd.edges.persist()
     md = gd.num_edges()
-    with timed("census_distributed"):
+
+    def run_census_distributed():
         cd = edge_graphlet_counts(gd, strategy="distributed").persist()
         td = macro_counts(gd, counts=cd)
         cd.unpersist()
+        return td
+
+    td = timed_reps("census_distributed", run_census_distributed, reps=2)
     tb = macro_counts(gd, strategy="broadcast")
     assert td["total_3_tris"] == tb["total_3_tris"]
     assert td["total_4_clique"] == tb["total_4_clique"]
@@ -112,16 +134,18 @@ def main() -> None:
     gd.unpersist()
 
     # 4. triangles via the pure-JVM distributed path (scale plan)
-    with timed("triangles_distributed"):
+    def run_triangles():
         adj = g.adjacency()
         ori = g.oriented()
-        tri_sum = (
+        return (
             ori.join(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")), ori.v == F.col("_v"))
             .join(adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu")), ori.u == F.col("_u"))
             .select(F.size(F.array_intersect("nv", "nu")).alias("t"))
             .agg(F.sum("t"))
             .first()[0]
         )
+
+    tri_sum = timed_reps("triangles_distributed", run_triangles, reps=3)
     assert tri_sum == 3 * totals["total_3_tris"]
 
     # 5. PageRank, fixed 20 iterations (iterations/sec headline; the
@@ -133,40 +157,53 @@ def main() -> None:
     from pgd_spark.operators.pregel import pagerank_prepare
 
     adj = pagerank_prepare(g)
-    with timed("pagerank"):
+
+    def run_pagerank():
         log = IterationLog()
         pagerank(g, tol=0.0, max_iter=20, log=log, adj=adj).count()
+        return len(log.entries)
+
+    iters = timed_reps("pagerank", run_pagerank, reps=3)
     adj.unpersist()
-    iters = len(log.entries)
     extras["pagerank_iters"] = iters
     extras["pagerank_iters_per_sec"] = round(iters / timings["pagerank"], 3)
 
     # 6. connected components
-    with timed("connected_components"):
-        ncomp = connected_components(g).select("component").distinct().count()
+    ncomp = timed_reps(
+        "connected_components",
+        lambda: connected_components(g).select("component").distinct().count(),
+        reps=3,
+    )
     extras["n_components"] = ncomp
 
     # 7. transcript pipeline: synthesize + derive at sf-scaled volume
-    with timed("transcript_derive"):
+    def run_transcripts():
         n_conv = max(2000, int(float(sf) * 2_000_000)) if sf.replace(".", "").isdigit() else 2000
         tr = generate_transcripts(spark, n_conv)
         tg, _ = edges_from_transcripts(tr)
-        extras["transcript_edges"] = tg.num_edges()
-        extras["transcript_turns"] = tr.count()
+        return tg.num_edges(), tr.count()
+
+    extras["transcript_edges"], extras["transcript_turns"] = timed_reps(
+        "transcript_derive", run_transcripts, reps=2
+    )
     extras["transcript_turns_per_sec"] = round(
         extras["transcript_turns"] / timings["transcript_derive"], 1
     )
 
     # 8. corpus dedup (MinHash LSH + exact verify)
-    with timed("minhash_dedup"):
+    def run_minhash():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        extras["minhash_pairs"] = minhash_dedup(docs, threshold=0.75).count()
+        return minhash_dedup(docs, threshold=0.75).count()
+
+    extras["minhash_pairs"] = timed_reps("minhash_dedup", run_minhash, reps=2)
 
     # 9. embedding brute-force cosine top-k
-    with timed("cosine_topk"):
+    def run_cosine():
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         queries = embs.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
-        cosine_topk(embs, queries, k=10).count()
+        return cosine_topk(embs, queries, k=10).count()
+
+    timed_reps("cosine_topk", run_cosine, reps=3)
 
     total = round(sum(timings.values()), 3)
     print(

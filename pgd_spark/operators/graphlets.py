@@ -44,6 +44,7 @@ def edge_graphlet_counts(
     edge_predicate=None,
     kernel_impl: str = "auto",
     distributed_hot_threshold: int | None = None,
+    max_exact_degree: int = 20_000_000,
 ) -> DataFrame:
     """Per-edge raw kernel counts [v,u,deg_v,deg_u,tri,cliq,cyc].
 
@@ -67,7 +68,10 @@ def edge_graphlet_counts(
         return _edge_counts_broadcast(g, edge_predicate, impl=kernel_impl)
     if strategy == "distributed":
         return _edge_counts_distributed(
-            g, edge_predicate, hot_degree_threshold=distributed_hot_threshold
+            g,
+            edge_predicate,
+            hot_degree_threshold=distributed_hot_threshold,
+            max_exact_degree=max_exact_degree,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -115,6 +119,7 @@ def _edge_counts_distributed(
     g: Graph,
     edge_predicate=None,
     hot_degree_threshold: int | None = None,
+    max_exact_degree: int = 20_000_000,
 ) -> DataFrame:
     """Pure-Catalyst per-edge kernel, skew-defended for web-scale runs.
 
@@ -161,7 +166,6 @@ def _edge_counts_distributed(
     from pgd_spark.plans.skew import top_degree_vertices
 
     maxdeg = g.max_degree()
-    max_exact_degree = 20_000_000
     if maxdeg > max_exact_degree:
         raise ValueError(
             f"max degree {maxdeg:,} exceeds the exact-census feasibility "

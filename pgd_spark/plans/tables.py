@@ -30,11 +30,12 @@ def table_format() -> str:
     return fmt
 
 
-def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", fmt: str | None = None) -> None:
     """Write ``df`` as a durable table at ``path`` in the configured
-    format.  Layout contract: whatever the format, a follow-up
-    :func:`read_table` on the same path returns the same rows."""
-    fmt = table_format()
+    format (or an explicit ``fmt`` override).  Layout contract:
+    whatever the format, a follow-up :func:`read_table` on the same
+    path returns the same rows."""
+    fmt = fmt or table_format()
     w = df.write.mode(mode)
     if fmt == "parquet":
         w.parquet(path)

@@ -36,6 +36,24 @@ def _ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zip_path)
 
 
+def _default_driver_mem() -> str:
+    """Heap default sized to the host: 60% of MemAvailable capped at
+    48 GiB, floor 2 GiB — so the -Xms pin (see below) can't fail JVM
+    startup under a small cgroup limit or strict overcommit."""
+    avail_gb = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / (1 << 20)
+                    break
+    except OSError:
+        pass
+    if avail_gb is None:
+        return "4g"
+    return f"{max(2, min(48, int(avail_gb * 0.6)))}g"
+
+
 def get_spark(
     app_name: str = "pgd_spark",
     master: str | None = None,
@@ -48,22 +66,21 @@ def get_spark(
         # local[N] → N-ish partitions; AQE coalesces small stages further.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else max(int(n), 1)
-    mem_pinned = "PGD_SPARK_DRIVER_MEM" in os.environ
-    driver_mem = os.environ.get("PGD_SPARK_DRIVER_MEM", "48g")
+    driver_mem = os.environ.get("PGD_SPARK_DRIVER_MEM") or _default_driver_mem()
     # -Xms = -Xmx: G1's adaptive heap SHRINKS the committed heap after
     # GC cycles, and on this virtualized host re-faulting the returned
     # pages under concurrent tasks serializes on mmap_lock — measured
     # 4x executor-CPU inflation and 3x run-to-run swings on identical
-    # stages.  A fixed-size heap faults each page once.  Benchmark runs
-    # can additionally set PGD_SPARK_PRETOUCH=1 to pre-fault the whole
-    # heap at startup (AlwaysPreTouch) so even the first timed run is
-    # steady-state; too slow (~9 s/GiB here) to default on for tests.
-    # Only pin -Xms when the caller EXPLICITLY sized the heap
-    # (PGD_SPARK_DRIVER_MEM set): forcing -Xms48g by default would fail
-    # JVM startup on hosts whose cgroup limit is below the default -Xmx.
-    jvm_opts = f"-Xms{driver_mem}" if mem_pinned else ""
+    # stages.  A fixed-size heap faults each page once.  Pinning is safe
+    # because the DEFAULT size now adapts to the host (see
+    # _default_driver_mem) instead of assuming 48 GiB everywhere.
+    # Benchmark runs can additionally set PGD_SPARK_PRETOUCH=1 to
+    # pre-fault the whole heap at startup (AlwaysPreTouch) so even the
+    # first timed run is steady-state; too slow (~9 s/GiB here) to
+    # default on for tests.
+    jvm_opts = f"-Xms{driver_mem}"
     if os.environ.get("PGD_SPARK_PRETOUCH") == "1":
-        jvm_opts = (jvm_opts + " -XX:+AlwaysPreTouch").strip()
+        jvm_opts += " -XX:+AlwaysPreTouch"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

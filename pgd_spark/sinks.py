@@ -132,12 +132,16 @@ def _reference_ordered_micro(micro_df: DataFrame, graph) -> DataFrame:
     return out
 
 
-def write_micro_distributed(micro_df: DataFrame, path: str, fmt: str = "parquet") -> None:
-    w = micro_df.write.mode("overwrite")
-    if fmt == "parquet":
-        w.parquet(path)
+def write_micro_distributed(micro_df: DataFrame, path: str, fmt: str | None = None) -> None:
+    """Cluster-scale micro output.  ``fmt=None`` → the durable-table
+    format (PGD_SPARK_TABLE_FORMAT: parquet/delta/iceberg, see
+    plans.tables); ``fmt="csv"`` stays for reference-style CSV dumps."""
+    if fmt in (None, "parquet", "delta", "iceberg"):
+        from pgd_spark.plans.tables import write_table
+
+        write_table(micro_df, path, fmt=fmt)
     else:
-        w.option("header", True).csv(path)
+        micro_df.write.mode("overwrite").option("header", True).csv(path)
 
 
 def write_gfd(totals: dict, path: str, which: str = "all") -> None:

@@ -143,10 +143,15 @@ def read_mtx(spark: SparkSession, path: str, track_lineage: bool = False) -> Gra
             F.monotonically_increasing_id().alias("_rid"),
         )
     )
-    # drop the single dims header row "n n m" — it is the first
-    # non-comment line; identify by min _rid.
-    first = data.agg(F.min("_rid")).first()[0]
-    edges = data.filter(F.col("_rid") != first)
+    # drop the single dims header row "n n m" — the first non-comment
+    # line, i.e. min _rid.  The min is embedded LAZILY as a broadcast
+    # 1-row anti-join side, so reading an mtx costs no eager driver
+    # action; the agg executes inside whichever job first consumes the
+    # edges.
+    first = data.agg(F.min("_rid").alias("_first"))
+    edges = data.join(
+        F.broadcast(first), F.col("_rid") == F.col("_first"), "left_anti"
+    )
     g = Graph.from_edges(edges.drop("_rid"))
     if track_lineage:
         _attach_lineage(g, edges.filter(F.col("src") != F.col("dst")), mtx_identity=True)

@@ -150,3 +150,22 @@ def test_ngram_jaccard_max_postings_guard(spark):
     # every shingle here occurs in >=4 docs, so postings empty out
     capped_tight = ngram_jaccard_pairs(docs, threshold=0.5, max_postings=3).collect()
     assert len(capped_tight) < len(exact)
+
+
+def test_distributed_census_hub_feasibility_gate(spark):
+    """A celebrity vertex past max_exact_degree must be rejected with an
+    actionable error (exact census work is Theta(d^2) per hub), while
+    the same graph passes with the gate above its max degree."""
+    import pytest
+    from pgd_spark.graph import Graph
+    from pgd_spark.operators.graphlets import edge_graphlet_counts
+    from pyspark.sql import functions as F
+
+    # star: hub 0 with 50 spokes, plus a few spoke-spoke edges
+    hub = spark.range(1, 51).select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    extra = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    g = Graph.from_edges(hub.unionByName(extra))
+    with pytest.raises(ValueError, match="feasibility"):
+        edge_graphlet_counts(g, strategy="distributed", max_exact_degree=10)
+    out = edge_graphlet_counts(g, strategy="distributed", max_exact_degree=100)
+    assert out.count() == g.num_edges()

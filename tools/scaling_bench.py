@@ -45,15 +45,21 @@ res = {"cores": cores}
 # on a real cluster 4x executors bring 4x DRAM).  A dense 1M-edge
 # graph keeps the 20MB CSR in shared L3 and the kernel CPU-bound.
 V, E = (3000, 150000) if quick else (16000, 1600000)
-N_CONV = 100000 if quick else 1000000
+# transcript volume sized so the 4N leg is NOT fixed-floor-dominated
+# (at 18.5M turns the 16-core leg ran 3.7 s — mostly job constants;
+# the efficiency then measured the floor, not the engine)
+N_CONV = 100000 if quick else 3000000
 PR_ITERS = 4 if quick else 20
 
 # ---- prep (unmeasured, identical at both sizes): build + materialize
 g = random_graph(spark, V, E, seed=42, skew=0.3)
 g.edges.persist(); m = g.num_edges(); n = g.num_vertices()
 res["edges"] = m; res["vertices"] = n
-# warm codegen + python workers
+# warm codegen + python workers (census AND pagerank plan shapes: the
+# first pagerank job otherwise pays Janino compilation inside the
+# timer — a constant that dilutes the 4N leg 4x more than the N leg)
 macro_counts(random_graph(spark, 2000, 20000), strategy="broadcast")
+pagerank(random_graph(spark, 2000, 10000, seed=3), tol=0.0, max_iter=2)
 
 # ---- job 1: full graphlet census (kernel + closure)
 t0 = time.time()
@@ -78,7 +84,11 @@ best = None
 for _rep in range(3):  # best-of-3: single-box runs are noisy at width
     t0 = time.time()
     log = IterationLog()
-    pagerank(gp, tol=0.0, max_iter=PR_ITERS, log=log, adj=adj).count()
+    # interval 10 → 2 jobs per 20 iterations: fewer per-job constants
+    # than the default 8 (3 jobs) without the O(depth^2) driver-side
+    # analysis a full 20-chain pays
+    pagerank(gp, tol=0.0, max_iter=PR_ITERS, log=log, adj=adj,
+             checkpoint_interval=10).count()
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
 res["pagerank_sec"] = best
@@ -126,11 +136,44 @@ def run(cores: int, quick: bool) -> dict:
     raise RuntimeError(f"no result from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+_SEC_KEYS = ("census_sec", "pagerank_sec", "transcript_sec")
+
+
+def _summarize(runs: list[dict]) -> dict:
+    """Median-of-N FRESH-JVM runs per size (VERDICT r2: two runs of the
+    same protocol swung 1.5x, so a single JVM draw is not evidence).
+    Per-job medians are taken independently; [min, max] spread is kept
+    so the table states how much each number is worth."""
+    jvm_reps = len(runs)
+    out = dict(runs[0])
+    out["jvm_reps"] = jvm_reps
+    out["spread"] = {}
+    for key in _SEC_KEYS:
+        vals = sorted(r[key] for r in runs)
+        out[key] = vals[(len(vals) - 1) // 2]
+        out["spread"][key] = [vals[0], vals[-1]]
+    out["census_edges_per_sec"] = out["edges"] / out["census_sec"]
+    out["pagerank_iters_per_sec"] = out["pagerank_iters"] / out["pagerank_sec"]
+    out["transcript_turns_per_sec"] = out["transcript_turns"] / out["transcript_sec"]
+    # cross-JVM result identity (determinism evidence)
+    assert all(r["total_3_tris"] == out["total_3_tris"] for r in runs)
+    assert all(r["total_4_clique"] == out["total_4_clique"] for r in runs)
+    return out
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 4
     quick = "--quick" in sys.argv
-    lo = run(n, quick)
-    hi = run(4 * n, quick)
+    jvm_reps = 1 if quick else int(os.environ.get("PGD_SCALING_REPS", "3"))
+    # INTERLEAVE the sizes (lo,hi,lo,hi,...): the host's throughput
+    # drifts over tens of minutes, and running all lo then all hi
+    # would fold that drift straight into the efficiency ratio
+    lo_runs, hi_runs = [], []
+    for _ in range(jvm_reps):
+        lo_runs.append(run(n, quick))
+        hi_runs.append(run(4 * n, quick))
+    lo = _summarize(lo_runs)
+    hi = _summarize(hi_runs)
 
     def eff(key):
         return (lo[key] / hi[key]) / 4
@@ -144,6 +187,25 @@ def main():
     print(json.dumps(report, indent=2))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    # run history is a first-class artifact: every protocol run appends
+    # here, so the MD can state which run backs the claim and how much
+    # the host drifts between runs of IDENTICAL code
+    import time as _t
+
+    with open("/root/repo/BENCH/scaling_runs.jsonl", "a") as hist:
+        hist.write(
+            json.dumps(
+                {
+                    "ts": _t.strftime("%Y-%m-%d %H:%M UTC", _t.gmtime()),
+                    "pair": f"local[{n}]->local[{4*n}]",
+                    "protocol": "interleaved-median-of-%d" % lo["jvm_reps"],
+                    "efficiency": {k: round(v, 3) for k, v in effs.items()},
+                    "lo_sec": {k: round(lo[k], 1) for k in _SEC_KEYS},
+                    "hi_sec": {k: round(hi[k], 1) for k in _SEC_KEYS},
+                }
+            )
+            + "\n"
+        )
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write("# BENCH/BASELINE — scaling protocol results\n\n")
         f.write(
@@ -153,30 +215,39 @@ def main():
             "(equivalently throughput ratio / 4).\n\n"
         )
         f.write(
+            f"Variance control: each size is the per-job MEDIAN of {lo['jvm_reps']} "
+            "fresh-JVM runs; [min–max] spread per job below. Graphlet totals are "
+            "asserted identical across every run and both sizes.\n\n"
+        )
+        f.write(
             f"Inputs: census on a dense hash-generated graph ({lo['edges']} edges, "
             f"{lo['vertices']} vertices, skew=0.3, CSR cache-resident so the kernel is "
             f"CPU-bound — at DRAM-bound sizes one box stops scaling with threads; "
-            f"4x executors on a real cluster bring 4x DRAM), PageRank on a 6M-edge "
-            f"sparse graph (300k vertices), "
+            f"4x executors on a real cluster bring 4x DRAM), PageRank ×20 on a "
+            f"12M-edge sparse graph (600k vertices), "
             f"and transcript derivation at {lo['transcript_turns']} turns. One-time prep "
             "(input materialization, codegen warmup) runs before each timer at both "
             "sizes. Identical results verified across sizes.\n\n"
         )
-        f.write("| job | local[%d] | local[%d] | thr@N | thr@4N | efficiency |\n" % (n, 4 * n))
+        def cell(r, key):
+            s = r["spread"][key]
+            return "%.1f s [%.1f–%.1f]" % (r[key], s[0], s[1])
+
+        f.write("| job | local[%d] median [spread] | local[%d] median [spread] | thr@N | thr@4N | efficiency |\n" % (n, 4 * n))
         f.write("|---|---|---|---|---|---|\n")
         f.write(
-            "| graphlet census (all 3/4-motifs) | %.1f s | %.1f s | %.0f e/s | %.0f e/s | %.3f |\n"
-            % (lo["census_sec"], hi["census_sec"], lo["census_edges_per_sec"],
-               hi["census_edges_per_sec"], effs["census"])
+            "| graphlet census (all 3/4-motifs) | %s | %s | %.0f e/s | %.0f e/s | %.3f |\n"
+            % (cell(lo, "census_sec"), cell(hi, "census_sec"),
+               lo["census_edges_per_sec"], hi["census_edges_per_sec"], effs["census"])
         )
         f.write(
-            "| PageRank ×%d iters | %.1f s | %.1f s | %.3f it/s | %.3f it/s | %.3f |\n"
-            % (lo["pagerank_iters"], lo["pagerank_sec"], hi["pagerank_sec"],
+            "| PageRank ×%d iters | %s | %s | %.3f it/s | %.3f it/s | %.3f |\n"
+            % (lo["pagerank_iters"], cell(lo, "pagerank_sec"), cell(hi, "pagerank_sec"),
                lo["pagerank_iters_per_sec"], hi["pagerank_iters_per_sec"], effs["pagerank"])
         )
         f.write(
-            "| transcript derive (%d turns) | %.1f s | %.1f s | %.0f t/s | %.0f t/s | %.3f |\n"
-            % (lo["transcript_turns"], lo["transcript_sec"], hi["transcript_sec"],
+            "| transcript derive (%d turns) | %s | %s | %.0f t/s | %.0f t/s | %.3f |\n"
+            % (lo["transcript_turns"], cell(lo, "transcript_sec"), cell(hi, "transcript_sec"),
                lo["transcript_turns_per_sec"], hi["transcript_turns_per_sec"],
                effs["transcript_derive"])
         )
@@ -204,21 +275,43 @@ Measured with Spark event-log task metrics (Executor CPU vs wall):
   a one-box artifact (4x executors on a real cluster bring 4x DRAM
   channels). This row is the engine's compute-scaling evidence.
 * **PageRank** — each iteration is one co-partitioned shuffle-hash join
-  (edge table persisted hash-partitioned on the key; only the rank
-  vector moves) plus one partial-agg shuffle. Per-iteration task CPU is
-  ~1.3 s and scales; the remaining ~3.5 s/iteration is scheduler/
-  shuffle-round latency that is independent of thread count — growing
-  the graph to amortize it runs into the same single-box DRAM wall.
-  On a multi-node cluster both the latency paths (parallel netty
-  fetches) and bandwidth scale with executors.
+  (grouped adjacency persisted hash-partitioned on the key; only the
+  rank vector moves) plus one partial-agg shuffle; 8 iterations chain
+  lazily into ONE Spark job (deeper chains pay O(depth²) driver-side
+  plan analysis), so fixed job costs are paid 3 times per 20
+  iterations, not 40.  What remains per iteration is the shuffle
+  stage's task round itself; on a multi-node cluster both the latency
+  paths (parallel netty fetches) and bandwidth scale with executors.
 * **transcript derive** — parquet scan → window → broadcast joins →
   distinct; at 18.5M turns the job is already IO/latency-light
   (seconds), so the fixed floor dominates the ratio.
 
 Single-box variance note: this VM shows high run-to-run variance at
-full 32-thread width (same job 19-66 s), so the protocol uses
-local[4] vs local[16] and reports a machine-idle run.
+full 32-thread width (same job 19-66 s), so the protocol avoids the
+full width and reports medians of fresh-JVM runs.
 """)
+        hist_path = "/root/repo/BENCH/scaling_runs.jsonl"
+        if os.path.exists(hist_path):
+            f.write(
+                "\n## Protocol run history (all recorded runs, identical code "
+                "per session)\n\nThe table above is the LATEST run for its "
+                "pair; the host VM's throughput drifts between runs, which "
+                "this history quantifies.\n\n"
+                "| when | pair | protocol | census eff | pagerank eff | derive eff |\n"
+                "|---|---|---|---|---|---|\n"
+            )
+            with open(hist_path) as hf:
+                for line in hf:
+                    try:
+                        h = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    e = h["efficiency"]
+                    f.write(
+                        f"| {h['ts']} | {h['pair']} | {h['protocol']} | "
+                        f"{e.get('census')} | {e.get('pagerank')} | "
+                        f"{e.get('transcript_derive')} |\n"
+                    )
     print("wrote /root/repo/BENCH/BASELINE.md")
 
 
