@@ -171,8 +171,9 @@ def _edge_counts_distributed(
             f"max degree {maxdeg:,} exceeds the exact-census feasibility "
             f"gate ({max_exact_degree:,}): a hub of degree d costs Θ(d²) "
             "wedge visits in ANY exact 3/4-graphlet engine. Use "
-            "approximate_census (edge-sampled Horvitz-Thompson) for "
-            "graphs with celebrity vertices at this scale."
+            "pgd_spark.operators.approximate_macro_counts (edge-sampled "
+            "Horvitz-Thompson totals), or restrict the pass with "
+            "edge_predicate, or raise max_exact_degree deliberately."
         )
 
     adj = g.adjacency()

@@ -27,8 +27,13 @@ from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pgd_spark.graph import Graph
 
 _aqe_lock = threading.RLock()
-_aqe_depth = 0
-_aqe_saved = None
+#: per-SparkSession re-entrancy state: id(session) -> [depth, saved].
+#: Keyed by session (ADVICE r3) so two concurrent sessions each get AQE
+#: suspended and restored against THEIR OWN saved value — module-global
+#: depth let the inner session skip the disable and restore the other
+#: session's value onto its own conf.  Entries are removed at depth 0,
+#: so a dead session never pins stale state (id() reuse is then safe).
+_aqe_state: dict[int, list] = {}
 
 
 @contextmanager
@@ -40,25 +45,29 @@ def suspend_aqe(spark):
     scaling graph).  Skew inside these loops is handled structurally
     (map-side partial aggregation bounds any hot reduce key).
 
-    Re-entrant: nested suspensions (e.g. kcore inside a caller's loop)
-    restore the ORIGINAL value once the outermost exits; the counter is
-    lock-guarded so overlapping loops on separate threads of one
-    SparkSession can't restore a stale value.  (The conf itself is
-    session-global — a concurrent unrelated query still observes
-    AQE off for the duration; documented single-session assumption.)"""
-    global _aqe_depth, _aqe_saved
+    Re-entrant per session: nested suspensions (e.g. kcore inside a
+    caller's loop) restore the ORIGINAL value once the outermost exits;
+    the counter is lock-guarded so overlapping loops on separate
+    threads of one SparkSession can't restore a stale value, and the
+    state is keyed by session so independent sessions don't interact.
+    (The conf itself is session-global — a concurrent unrelated query
+    on the SAME session still observes AQE off for the duration.)"""
+    key = id(spark)
     with _aqe_lock:
-        if _aqe_depth == 0:
-            _aqe_saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        st = _aqe_state.get(key)
+        if st is None:
+            st = [0, spark.conf.get("spark.sql.adaptive.enabled", "true")]
+            _aqe_state[key] = st
             spark.conf.set("spark.sql.adaptive.enabled", "false")
-        _aqe_depth += 1
+        st[0] += 1
     try:
         yield
     finally:
         with _aqe_lock:
-            _aqe_depth -= 1
-            if _aqe_depth == 0:
-                spark.conf.set("spark.sql.adaptive.enabled", _aqe_saved)
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", st[1])
+                _aqe_state.pop(key, None)
 
 
 def auto_npart(spark, work_rows: int, target_rows_per_part: int = 400_000) -> int:

@@ -54,6 +54,21 @@ def _default_driver_mem() -> str:
     return f"{max(2, min(48, int(avail_gb * 0.6)))}g"
 
 
+def _mem_to_mb(mem: str) -> int:
+    """'14g' / '512m' → MiB (JVM -Xmx suffix grammar, defaults to MiB)."""
+    s = mem.strip().lower()
+    try:
+        if s.endswith("g"):
+            return int(float(s[:-1]) * 1024)
+        if s.endswith("m"):
+            return int(float(s[:-1]))
+        if s.endswith("k"):
+            return max(int(float(s[:-1]) / 1024), 1)
+        return int(float(s))
+    except ValueError:
+        return 4096
+
+
 def get_spark(
     app_name: str = "pgd_spark",
     master: str | None = None,
@@ -94,13 +109,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # broadcast budget: operators derive their broadcast-vs-shuffle
         # cutoffs from this (graphlets.py), so it states the per-JVM
-        # memory truth — 384 MB in single-JVM local mode (everything
-        # shares one big heap; "broadcast" is a reference, not a copy),
-        # the conservative 64 MB default anywhere else where each
-        # executor must hold its own copy next to shuffle buffers.
+        # memory truth — in single-JVM local mode up to 384 MB but never
+        # more than heap/8 (ADVICE r3: the heap default adapts down to a
+        # 2 GiB floor on small hosts, and a fixed 384 MB threshold would
+        # let Spark plan ~384 MB HashedRelations into that heap), the
+        # conservative 64 MB default anywhere else where each executor
+        # must hold its own copy next to shuffle buffers.
         .config(
             "spark.sql.autoBroadcastJoinThreshold",
-            str((384 if master.startswith("local") else 64) * 1024 * 1024),
+            str(
+                min(384, max(_mem_to_mb(driver_mem) // 8, 16)) * 1024 * 1024
+                if master.startswith("local")
+                else 64 * 1024 * 1024
+            ),
         )
     )
     if jvm_opts:

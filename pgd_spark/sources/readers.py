@@ -144,14 +144,22 @@ def read_mtx(spark: SparkSession, path: str, track_lineage: bool = False) -> Gra
         )
     )
     # drop the single dims header row "n n m" — the first non-comment
-    # line, i.e. min _rid.  The min is embedded LAZILY as a broadcast
-    # 1-row anti-join side, so reading an mtx costs no eager driver
-    # action; the agg executes inside whichever job first consumes the
-    # edges.
-    first = data.agg(F.min("_rid").alias("_first"))
-    edges = data.join(
-        F.broadcast(first), F.col("_rid") == F.col("_first"), "left_anti"
+    # line, i.e. min _rid.  The min is computed with a global-frame
+    # window over the SAME subtree, so monotonically_increasing_id is
+    # evaluated exactly once per row and the min is taken from those
+    # very values — the previous broadcast-anti-join variant evaluated
+    # the nondeterministic id in two independent scans and only matched
+    # because both re-read the file with identical splits (ADVICE r3: a
+    # plan/source change could silently keep the header or drop a real
+    # edge).  The empty-partition window serializes one pass over the
+    # file; mtx is a single-file text parity format, so that pass is
+    # already single-stream at the source.
+    from pyspark.sql import Window
+
+    wmin = F.min("_rid").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    edges = data.withColumn("_first", wmin).filter(F.col("_rid") != F.col("_first")).drop("_first")
     g = Graph.from_edges(edges.drop("_rid"))
     if track_lineage:
         _attach_lineage(g, edges.filter(F.col("src") != F.col("dst")), mtx_identity=True)

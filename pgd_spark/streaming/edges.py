@@ -168,7 +168,10 @@ def compact_edge_store(
         for d in os.listdir(edge_store)
         if d.startswith("epoch=")
     )
-    victims = epochs[: len(epochs) - max(keep_last, 0)]
+    # clamp: keep_last > len(epochs) must mean "keep everything", not a
+    # negative slice that silently compacts the newest epochs (the
+    # documented in-flight safety margin)
+    victims = epochs[: max(len(epochs) - max(keep_last, 0), 0)]
     if len(victims) < max(min_epochs, 2):
         return 0
     target = victims[0]

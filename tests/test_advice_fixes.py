@@ -169,3 +169,77 @@ def test_distributed_census_hub_feasibility_gate(spark):
         edge_graphlet_counts(g, strategy="distributed", max_exact_degree=10)
     out = edge_graphlet_counts(g, strategy="distributed", max_exact_degree=100)
     assert out.count() == g.num_edges()
+
+
+# ---------------------------------------------------- round-3 ADVICE fixes
+def test_compact_keep_last_exceeding_epochs_is_noop(spark, tmp_path):
+    """keep_last > #epochs must compact NOTHING — the old negative slice
+    selected (len - keep_last) epochs from the tail as victims and
+    compacted epochs the caller asked to keep."""
+    from pgd_spark.streaming.edges import compact_edge_store, read_edge_store
+
+    store = str(tmp_path / "store")
+    for e in range(10):
+        spark.createDataFrame([(e, e + 100)], "src long, dst long").write.parquet(
+            f"{store}/epoch={e}"
+        )
+    before = sorted(
+        (r.src, r.dst) for r in read_edge_store(spark, store).collect()
+    )
+    assert compact_edge_store(spark, store, keep_last=12, min_epochs=2) == 0
+    import os
+
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("epoch="))
+    assert len(dirs) == 10, "no epoch may be touched when keep_last covers all"
+    after = sorted((r.src, r.dst) for r in read_edge_store(spark, store).collect())
+    assert after == before
+
+
+def test_feasibility_gate_names_an_existing_api(spark):
+    """The gate's error message must point at an API that exists."""
+    import re
+
+    import pgd_spark.operators as ops
+    from pgd_spark.graph import Graph
+    from pgd_spark.operators.graphlets import edge_graphlet_counts
+
+    hub = spark.range(1, 31).select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    g = Graph.from_edges(hub)
+    with pytest.raises(ValueError) as ei:
+        edge_graphlet_counts(g, strategy="distributed", max_exact_degree=5)
+    named = re.findall(r"pgd_spark\.operators\.(\w+)", str(ei.value))
+    assert named, "error message should name a mitigation API"
+    for fn in named:
+        assert hasattr(ops, fn), f"error message names nonexistent API {fn}"
+
+
+def test_suspend_aqe_is_per_session(spark):
+    """Two sessions suspended concurrently must each get AQE off and
+    each restore its OWN prior value (module-global depth let the inner
+    session skip the disable and cross-restore)."""
+    from pgd_spark.operators.pregel import suspend_aqe
+
+    other = spark.newSession()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    other.conf.set("spark.sql.adaptive.enabled", "false")
+    with suspend_aqe(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        with suspend_aqe(other):
+            # the second session is independently disabled…
+            assert other.conf.get("spark.sql.adaptive.enabled") == "false"
+        # …and restores ITS value, not the first session's
+        assert other.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    other.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_broadcast_threshold_scales_with_driver_mem():
+    from pgd_spark.session import _mem_to_mb
+
+    assert _mem_to_mb("14g") == 14 * 1024
+    assert _mem_to_mb("512m") == 512
+    assert _mem_to_mb("2g") == 2048
+    # the local-mode formula: min(384, heap/8) MB, floor 16
+    assert min(384, max(_mem_to_mb("2g") // 8, 16)) == 256
+    assert min(384, max(_mem_to_mb("24g") // 8, 16)) == 384
