@@ -83,9 +83,24 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW input up to the cluster's parallelism before
+    a per-document explode.  A small corpus often arrives as one file →
+    one partition, and the shingle/token explode then runs serially
+    (measured: 17 s single-task vs <2 s spread at sf0.1); the text
+    shuffle this costs is tiny next to the explode it parallelizes.
+    Inputs that already have enough partitions pass through untouched —
+    no shuffle is added on a real corpus-scale read."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """[id, shingle] distinct character n-grams of normalized text.
     Generated JVM-side: sequence + transform + explode, no Python."""
+    df = _spread(df)
     norm = _NORM(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
@@ -95,6 +110,22 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
+
+
+def _materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Run the plan once (eager localCheckpoint of the SMALL result —
+    near-dup pair lists are O(duplicates), bounded by the bucket caps),
+    then release every internal cache.  The dedup operators cache their
+    shingle/signature tables because one plan reads them 3-4 times; a
+    lazily-returned DataFrame can't unpersist those caches without
+    losing them, so they leaked for the life of the session (ADVICE r3:
+    41.6 s minhash bench held two shingle caches forever).  Result
+    blocks persist MEMORY_AND_DISK on executors and are freed by the
+    ContextCleaner when the returned frame is dropped."""
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -108,7 +139,8 @@ def ngram_jaccard_pairs(
     """[id_a < id_b, jaccard] — exact n-gram Jaccard over an inverted-
     index self-join.  ``max_postings`` drops shingles occurring in more
     than that many docs (stopword-shingle blowup guard at corpus scale;
-    None = exact)."""
+    None = exact).  Executes eagerly and releases its internal caches
+    (see _materialize_and_release)."""
     sh = _shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     postings = sh
@@ -130,7 +162,19 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
+    return _materialize_and_release(out, sh)
+
+
+def _sig_from_shingles(sh: DataFrame, num_hashes: int, seed: int) -> DataFrame:
+    """[id, sig] from a prepared [id, shingle, rh] table: k affine maps
+    of the one rolling hash, k min-aggregations in one shuffle."""
+    fam = hash_family(num_hashes, seed)
+    mins = [
+        F.min((F.lit(a) * F.col("rh") + F.lit(b)) % HASH_MOD).alias(f"h{i}")
+        for i, (a, b) in enumerate(fam)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_signatures(
@@ -144,16 +188,10 @@ def minhash_signatures(
     """[id, sig: array<long>] — k independent minhashes; ONE rolling
     hash per shingle, then k affine maps (a_i*h+b_i mod 2^31-1) — k
     aggregations in one shuffle, portable arithmetic throughout."""
-    fam = hash_family(num_hashes, seed)
     sh = _shingles(df, id_col, text_col, n).withColumn(
         "rh", char_hash(F.col("shingle"), length=n)
     )
-    mins = [
-        F.min((F.lit(a) * F.col("rh") + F.lit(b)) % HASH_MOD).alias(f"h{i}")
-        for i, (a, b) in enumerate(fam)
-    ]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return _sig_from_shingles(sh, num_hashes, seed)
 
 
 def minhash_dedup(
@@ -175,9 +213,21 @@ def minhash_dedup(
     ``max_bucket_size`` skips band-buckets larger than the cap: on
     boilerplate-heavy corpora a mega-bucket means thousands of mutual
     near-dups whose pair list is quadratic; the cap bounds the worst
-    case while other bands still recall pairs (None = no cap)."""
+    case while other bands still recall pairs (None = no cap).
+
+    One shingle pass end-to-end: the [id, shingle, rh] table is built
+    and cached ONCE and shared between signature generation and the
+    exact verify (it was computed twice per call before — half the
+    operator's cost on the bench corpus); the banded-signature table is
+    also cached because the bucket-size filter and both sides of the
+    candidate self-join read it (3 evaluations of the k-min aggregation
+    otherwise).  Executes eagerly and releases both caches before
+    returning (see _materialize_and_release)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    sh = _shingles(df, id_col, text_col, n).withColumn(
+        "rh", char_hash(F.col("shingle"), length=n)
+    ).cache()
+    sig = _sig_from_shingles(sh, num_hashes, seed)
     # bucket key = the band's joined minhash values as a string — an
     # equality key needs no re-hash (and stays oracle-portable)
     banded = sig.select(
@@ -195,7 +245,7 @@ def minhash_dedup(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket").cache()
     if max_bucket_size is not None:
         ok_buckets = (
             banded.groupBy("band", "bucket")
@@ -203,31 +253,46 @@ def minhash_dedup(
             .filter(F.col("bsz") <= max_bucket_size)
             .select("band", "bucket")
         )
-        banded = banded.join(ok_buckets, ["band", "bucket"])
+        pruned = banded.join(ok_buckets, ["band", "bucket"])
+    else:
+        pruned = banded
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
+        pruned.alias("x")
+        .join(pruned.alias("y"), ["band", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set: equi-join on (id, shingle)
-    # both hops so the plan never forms per-pair shingle cross products
-    sh = _shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    # exact verify on the candidate set, over the SAME cached shingles,
+    # via per-doc shingle ARRAYS + array_intersect: two id-keyed joins
+    # carry O(candidates) rows, each holding one bounded doc-set array
+    # (shingle count ≤ text length, which a corpus pipeline chunks) —
+    # the exploded (id, shingle) equi-join variant materialized
+    # O(candidates × shingles) join rows (266M at sf0.1, 18.6 s; this
+    # plan verifies the same 888k candidates in ~2 s).  Counts are
+    # identical: |set ∩ set| over the same distinct shingles.
+    doc_sets = sh.groupBy("id").agg(
+        F.collect_list("shingle").alias("shs"), F.count("*").alias("sz")
     )
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    out = (
+        cand.join(
+            doc_sets.select(
+                F.col("id").alias("id_a"), F.col("shs").alias("sa"), F.col("sz").alias("sz_a")
+            ),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("id").alias("id_b"), F.col("shs").alias("sb"), F.col("sz").alias("sz_b")
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _materialize_and_release(out, sh, banded)
 
 
 def simhash_signatures(
@@ -239,6 +304,7 @@ def simhash_signatures(
     mod 2, 64 independent-parity bits), each token contributes ±1 per
     bit, sign of the bit-sum sets the signature bit."""
     fam = hash_family(64, seed)
+    df = _spread(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(_NORM(F.col(text_col)), " ")).alias("tok"),
@@ -265,7 +331,9 @@ def simhash_dedup(
 ) -> DataFrame:
     """[id_a, id_b, hamming] — SimHash near-dups: 4×16-bit band join
     (any pair within Hamming ≤3 of 64 bits shares ≥1 exact 16-bit
-    quarter by pigeonhole), then exact Hamming verify."""
+    quarter by pigeonhole), then exact Hamming verify.  Executes
+    eagerly and releases the signature cache (see
+    _materialize_and_release)."""
     sig = simhash_signatures(df, id_col, text_col).cache()
     quarters = sig.select(
         "id",
@@ -294,8 +362,9 @@ def simhash_dedup(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _materialize_and_release(out, sig)

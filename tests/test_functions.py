@@ -160,3 +160,23 @@ def test_salted_join_equivalence(spark):
     plain = big.join(small, "key").select("key", "other", "degree")
     salted = salted_join(big, small, "key", hot, salt=4).select("key", "other", "degree")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_dedup_operators_release_internal_caches(spark, docs):
+    """minhash/simhash/ngram dedup cache shingle/signature tables
+    internally (one plan reads them 3-4x); each call must execute
+    eagerly and leave the session's CacheManager as it found it —
+    before this, every call leaked its caches for the session's life
+    (53% of the r3 bench suite was minhash re-deriving around them)."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    # the docs fixture itself is cached — re-cache it after clearing
+    docs.cache().count()
+    assert not cm.isEmpty()
+    minhash_dedup(docs, threshold=0.8).collect()
+    ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    simhash_dedup(docs, max_hamming=6).collect()
+    # only the fixture's own cache may remain
+    docs.unpersist()
+    assert cm.isEmpty(), "a dedup operator left an internal cache behind"
+    docs.cache()
