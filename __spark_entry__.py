@@ -367,6 +367,23 @@ def q_emb_lsh_topk(spark, sf_dir):
     )
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (pgd_spark.functions.similarity.ivf_cosine_topk):
+    hash-min-sampled centroids, nearest-centroid assignment, nprobe
+    probing, exact re-score — every stage portable arithmetic so the
+    DuckDB oracle replays it value-for-value."""
+    from pgd_spark.functions.similarity import ivf_cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = (
+        embs.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_cosine_topk(embs, queries, k=5, n_centroids=32, nprobe=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     from pgd_spark.functions.multimodal import attach_fake_payload, decode_image_meta
 
@@ -423,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "transcript_graph_census": q_transcript_graph_census,
     }
@@ -1135,6 +1153,47 @@ cand AS (
 scored AS (
   SELECT c.query_id, c.vec_id, list_cosine_similarity(it.v, qs.q) AS sim
   FROM cand c JOIN it ON it.vec_id = c.vec_id JOIN qs ON qs.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"""
+
+    # ---- IVF ANN: centroid selection is a portable hash-min sample,
+    # assignment/probe/re-score are plain cosine argmax — the whole
+    # index build and search replay in SQL
+    from pgd_spark.functions.similarity import IVF_A, IVF_MOD
+
+    o["emb_ivf_topk"] = f"""
+WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS cid, v AS cvec FROM it
+  ORDER BY ({IVF_A} * (vec_id % {IVF_MOD})) % {IVF_MOD} ASC, vec_id ASC
+  LIMIT 32
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT it.vec_id, c.cid,
+           row_number() OVER (PARTITION BY it.vec_id
+             ORDER BY list_cosine_similarity(it.v, c.cvec) DESC, c.cid ASC) AS rn
+    FROM it CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qs AS (SELECT vec_id AS query_id, v AS q FROM it WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT qs.query_id, c.cid,
+           row_number() OVER (PARTITION BY qs.query_id
+             ORDER BY list_cosine_similarity(qs.q, c.cvec) DESC, c.cid ASC) AS rn
+    FROM qs CROSS JOIN cent c
+  ) WHERE rn <= 8
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(it.v, qs.q) AS sim
+  FROM probes p JOIN asg a ON a.cid = p.cid
+  JOIN it ON it.vec_id = a.vec_id JOIN qs ON qs.query_id = p.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id,

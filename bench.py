@@ -44,6 +44,40 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    def _tree_cpu_secs(root_pid: int) -> float:
+        """Σ utime+stime (seconds) of root_pid and every live descendant
+        — the JVM plus its reused python workers.  Per-rep deltas
+        separate 'the engine did more work' (CPU moved) from 'the VM
+        gave fewer cycles' (CPU flat while wall grew): the drift
+        diagnostic VERDICT r3 asked for on the census spread."""
+        import glob as _glob
+
+        tick = os.sysconf("SC_CLK_TCK")
+        procs: dict[int, tuple[int, int]] = {}
+        for stat in _glob.glob("/proc/[0-9]*/stat"):
+            try:
+                with open(stat) as f:
+                    head, tail = f.read().rsplit(")", 1)
+                pid = int(head.split()[0])
+                fields = tail.split()
+                procs[pid] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+            except (OSError, ValueError, IndexError):
+                continue
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack, seen = 0, [root_pid], set()
+        while stack:
+            p = stack.pop()
+            if p in seen or p not in procs:
+                continue
+            seen.add(p)
+            total += procs[p][1]
+            stack.extend(kids.get(p, []))
+        return total / tick
+
+    jvm_pid = int(spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid())
+
     # warmup (unmeasured): spin up python workers + codegen on a tiny
     # graph so the timers below measure the operators, not JVM/process
     # startup — same protocol as tools/scaling_bench.py
@@ -71,13 +105,20 @@ def main() -> None:
     spreads: dict[str, list[float]] = {}
     extras["spread"] = spreads
 
-    def timed_reps(name: str, fn, reps: int = 3):
+    def timed_reps(name: str, fn, reps: int = 3, track_cpu: bool = False):
         times = []
+        cpus = []
         last = None
         for _ in range(reps):
+            c0 = _tree_cpu_secs(jvm_pid) if track_cpu else 0.0
             t0 = time.time()
             last = fn()
             times.append(time.time() - t0)
+            if track_cpu:
+                cpus.append(round(_tree_cpu_secs(jvm_pid) - c0, 1))
+        if track_cpu:
+            extras[f"{name}_wall_per_rep"] = [round(t, 1) for t in times]
+            extras[f"{name}_cpu_per_rep"] = cpus
         times.sort()
         # lower median: true median at odd reps, best-of-2 at reps=2
         timings[name] = round(times[(len(times) - 1) // 2], 3)
@@ -103,7 +144,14 @@ def main() -> None:
         counts.unpersist()
         return totals
 
-    totals = timed_reps("graphlet_census", run_census, reps=3)
+    # warm the content-keyed per-machine CSR for THE TIMED GRAPH (a
+    # ~0.01%-sampled pass; same protocol as tools/scaling_bench.py) so
+    # rep 1 measures kernel throughput, not the one-builder CSR build
+    from pgd_spark.operators.graphlets import _edge_counts_broadcast
+
+    _edge_counts_broadcast(g, sample=(10_000, 1, 7)).count()
+    # reps=5 + per-rep CPU (VERDICT r3): the census spread diagnostic
+    totals = timed_reps("graphlet_census", run_census, reps=5, track_cpu=True)
     extras["graphlet_edges_per_sec"] = round(m / timings["graphlet_census"], 1)
     extras["total_3_tris"] = totals["total_3_tris"]
     extras["total_4_clique"] = totals["total_4_clique"]
@@ -118,10 +166,13 @@ def main() -> None:
     gd.edges.persist()
     md = gd.num_edges()
 
+    from pgd_spark.operators.graphlets import release_internal_caches
+
     def run_census_distributed():
         cd = edge_graphlet_counts(gd, strategy="distributed").persist()
         td = macro_counts(gd, counts=cd)
         cd.unpersist()
+        release_internal_caches(cd)  # the strategy's persisted two-hop base
         return td
 
     td = timed_reps("census_distributed", run_census_distributed, reps=2)

@@ -10,7 +10,12 @@ from pgd_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_dedup,
 )
-from pgd_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+from pgd_spark.functions.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 
 __all__ = [
     "token_count",
@@ -23,4 +28,6 @@ __all__ = [
     "simhash_dedup",
     "cosine_topk",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "ivf_assign",
 ]

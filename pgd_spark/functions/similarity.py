@@ -10,6 +10,15 @@
                       candidates only.  The 100 TB path: candidate
                       generation is a bucket equi-join, not a cross
                       join; recall is tunable with tables × bits.
+* ivf_cosine_topk   — inverted-file (IVF-flat) variant: items are
+                      assigned to their nearest centroid once (the
+                      index build), queries probe their nprobe nearest
+                      centroid lists and re-score exactly.  Centroids
+                      are a deterministic hash-min sample of the items
+                      (the standard IVF bootstrap without the k-means
+                      refinement sweeps), so the whole operator —
+                      selection, assignment, probe, re-score — replays
+                      value-for-value in portable SQL.
 """
 
 from __future__ import annotations
@@ -130,6 +139,110 @@ def lsh_cosine_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     scored = cand.select(
+        query_id_col,
+        id_col,
+        _cosine(F.col("ivec"), F.col("qvec"), F.col("inorm"), F.col("qnorm")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+#: portable constants for the deterministic centroid sample (shared
+#: with the dedup/sampling hash family — any SQL engine reproduces it)
+IVF_MOD = 2_147_483_647
+IVF_A = 1_103_515_245
+
+
+def ivf_assign(
+    items: DataFrame,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids [cid, cvec, cnorm], assigned [id, ivec, inorm, cid])
+    — the IVF index build.  Centroids are the ``n_centroids`` items
+    with the smallest portable hash of their id (deterministic,
+    SQL-replayable); each item joins the broadcast centroid block once
+    and keeps its best-cosine centroid (ties → lower cid).  One scan
+    over the items; at corpus scale persist ``assigned`` as the index
+    and reuse it across query batches."""
+    cent = (
+        items.select(F.col(id_col), F.col(vec_col))
+        .withColumn(
+            "_h",
+            (F.lit(IVF_A) * F.pmod(F.col(id_col).cast("long"), F.lit(IVF_MOD))) % F.lit(IVF_MOD),
+        )
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("cnorm"),
+        )
+    )
+    it = items.select(
+        F.col(id_col), F.col(vec_col).alias("ivec"), _norm(F.col(vec_col)).alias("inorm")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigned = (
+        it.crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            "ivec",
+            "inorm",
+            "cid",
+            _cosine(F.col("ivec"), F.col("cvec"), F.col("inorm"), F.col("cnorm")).alias("csim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "ivec", "inorm", "cid")
+    )
+    return cent, assigned
+
+
+def ivf_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """[query_id, vec_id, rank, sim] — IVF-flat approximate top-k:
+    each query probes its ``nprobe`` best centroids and exactly
+    re-scores only the items assigned to them.  Work per query is
+    O(n_centroids + Σ probed-list sizes) instead of O(N); recall
+    rises with nprobe (nprobe = n_centroids is exhaustive = exact).
+    Pass a persisted (``centroids``, ``assigned``) pair from
+    :func:`ivf_assign` to reuse the index across query batches."""
+    if assigned is None or centroids is None:
+        centroids, assigned = ivf_assign(items, n_centroids, id_col, vec_col)
+    qs = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("qnorm")
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    probes = (
+        qs.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            "qvec",
+            "qnorm",
+            "cid",
+            _cosine(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")).alias("csim"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "qvec", "qnorm", "cid")
+    )
+    scored = assigned.join(F.broadcast(probes), "cid").select(
         query_id_col,
         id_col,
         _cosine(F.col("ivec"), F.col("qvec"), F.col("inorm"), F.col("qnorm")).alias("sim"),

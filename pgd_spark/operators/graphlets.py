@@ -115,6 +115,39 @@ def _edge_counts_broadcast(
 
 
 # -------------------------------------------------------------- distributed
+def _dist_plumbing(g: Graph):
+    """Physical sizing shared by every distributed two-hop join in this
+    module (the census and the corrected-tailed pass): shuffle width,
+    the broadcast-vs-SHUFFLE_HASH chooser for the adjacency lookup
+    side, and the sized edge-key probe side.
+
+    Broadcast budgets derive from the session's broadcast threshold
+    (the knob admins size to executor memory), charging HashedRelation
+    all-in costs — ~48 B/row overhead + payload — rather than raw
+    payload bytes (ADVICE r2).  The adjacency side (n rows, 2m array
+    entries) broadcasts while it fits an executor; the payoff is
+    structural, not just a cheaper join: with map-side adjacency joins
+    the downstream tables keep a balanced (v,u) partitioning — a
+    SHUFFLE_HASH join on u would place EVERY edge of a hub u (each
+    carrying the hub's full array) in ONE partition.  Beyond the
+    budget: SHUFFLE_HASH (sort-merge would sort the m-row edge stream
+    for no benefit).  Edge keys cost ~64 B/edge all-in."""
+    npart = int(g.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    m = g.num_edges()
+    n = max(g.num_vertices(), 1)
+    bcast_bytes = max(
+        int(g.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864")), 0
+    )
+    small_adj = 48 * n + 16 * 2 * m <= bcast_bytes
+
+    def _side(df):
+        return F.broadcast(df) if small_adj else df.hint("SHUFFLE_HASH")
+
+    ekeys = g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ekeys = F.broadcast(ekeys) if m * 64 <= bcast_bytes else ekeys.hint("SHUFFLE_HASH")
+    return npart, m, n, small_adj, _side, ekeys
+
+
 def _edge_counts_distributed(
     g: Graph,
     edge_predicate=None,
@@ -181,32 +214,9 @@ def _edge_counts_distributed(
     if edge_predicate is not None:
         ori = ori.filter(edge_predicate)
 
-    npart = int(g.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    m = g.num_edges()
-    n = max(g.num_vertices(), 1)
-    # Broadcast budgets derive from the session's broadcast threshold
-    # (the knob admins size to executor memory), charging HashedRelation
-    # all-in costs — ~48 B/row overhead + payload — rather than raw
-    # payload bytes (ADVICE r2: the old fixed row-count cutoffs implied
-    # several hundred MB on typical executors).
-    bcast_bytes = max(
-        int(g.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864")), 0
-    )
-    # adjacency lookup side (n rows, 2m array entries): BROADCAST while
-    # it fits an executor.  The payoff is structural, not just a cheaper
-    # join: with map-side adjacency joins, `base` keeps the balanced
-    # (v,u) partitioning below — a SHUFFLE_HASH join on u would place
-    # EVERY edge of a hub u (each carrying the hub's full wu array,
-    # ~deg_u² entries ≈ 2 GB at deg 15k) in ONE partition, and the
-    # tasks that later read it run 35-100x past their stage median.
-    small_adj = 48 * n + 16 * 2 * m <= bcast_bytes
+    npart, m, n, small_adj, _side, ekeys = _dist_plumbing(g)
     if small_adj:
         ori = ori.repartition(npart, "v", "u")
-
-    def _side(df):
-        # beyond the broadcast budget: SHUFFLE_HASH (sort-merge would
-        # sort the m-row edge stream for no benefit)
-        return F.broadcast(df) if small_adj else df.hint("SHUFFLE_HASH")
 
     base = (
         ori.join(
@@ -248,12 +258,6 @@ def _edge_counts_distributed(
         )
     )
     base = base.persist()
-
-    # edge-key probe side: ~64 B/edge all-in (16 B key payload +
-    # hash-map entry + row overhead); beyond the threshold a
-    # SHUFFLE_HASH join keeps executor memory bounded
-    ekeys = g.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    ekeys = F.broadcast(ekeys) if m * 64 <= bcast_bytes else ekeys.hint("SHUFFLE_HASH")
 
     # broadcast regime: base inherited the balanced (v,u) partitioning.
     # SHUFFLE_HASH regime: the u-keyed join clustered hub edges — spread
@@ -320,7 +324,22 @@ def _edge_counts_distributed(
         .join(cyc, ["v", "u"], "left")
         .fillna(0, subset=["cliq", "cyc"])
     )
+    # the persisted two-hop base must outlive this (lazy) frame — tag it
+    # so terminal consumers can release it (release_internal_caches);
+    # eagerly materializing `out` here instead would force the m-row
+    # per-edge table onto executor storage even for totals-only callers
+    out._pgd_internal_caches = [base]
     return out
+
+
+def release_internal_caches(counts: DataFrame) -> None:
+    """Unpersist lookup tables :func:`edge_graphlet_counts` persisted
+    while building ``counts`` (the distributed strategy persists its
+    two-hop base).  Call once the frame's consumers are done; a no-op
+    for the broadcast strategy or frames derived by further transforms
+    (best-effort hygiene, never required for correctness)."""
+    for c in getattr(counts, "_pgd_internal_caches", []):
+        c.unpersist()
 
 
 # ------------------------------------------------------------------- micro
@@ -373,14 +392,34 @@ def micro_counts(
 
 def _with_tailed_raw(g: Graph, counts: DataFrame) -> DataFrame:
     """Adds ``tailed_raw``: adjacent pairs within W_u + within W_v
-    (the corrected per-edge tailed-triangle count; e as tail edge)."""
+    (the corrected per-edge tailed-triangle count; e as tail edge).
+
+    Physical plan mirrors the distributed census (same _dist_plumbing
+    sizing and the same hot/cold wedge-vertex defense as its 4-cycle
+    path): the old version re-derived the base ori ⋈ adjacency ⋈
+    adjacency join with unconditional shuffle joins and joined EVERY
+    exploded wedge vertex against the full adjacency — a celebrity
+    vertex w then funneled all its rows into one reducer, each paying
+    an O(deg(w)) intersect.  Cold w intersect N(w) with the carried
+    side array; hot w (degree past the census threshold) explode the
+    (w, x) pairs and probe the near-uniform edge keys instead."""
+    from pgd_spark.plans.skew import top_degree_vertices
+
+    npart, m, n, small_adj, _side, ekeys = _dist_plumbing(g)
     adj = g.adjacency()
-    adj_w = adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw"))
     ori = g.oriented().select("v", "u")
+    if small_adj:
+        ori = ori.repartition(npart, "v", "u")
     base = (
-        ori.join(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv")), F.col("v") == F.col("_v"))
+        ori.join(
+            _side(adj.select(F.col("v").alias("_v"), F.col("nbrs").alias("nv"))),
+            F.col("v") == F.col("_v"),
+        )
         .drop("_v")
-        .join(adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu")), F.col("u") == F.col("_u"))
+        .join(
+            _side(adj.select(F.col("v").alias("_u"), F.col("nbrs").alias("nu"))),
+            F.col("u") == F.col("_u"),
+        )
         .drop("_u")
         .select(
             "v",
@@ -389,13 +428,35 @@ def _with_tailed_raw(g: Graph, counts: DataFrame) -> DataFrame:
             F.array_except(F.array_remove("nv", F.col("u")), "nu").alias("wv"),
         )
     )
+    base = base if small_adj else base.repartition(npart, "v", "u")
+
+    hot_degree_threshold = max(256, int(8 * (2.0 * m / n)))
+    hot_w = F.broadcast(top_degree_vertices(g, hot_degree_threshold).withColumnRenamed("v", "w"))
+    adj_w = _side(adj.select(F.col("v").alias("w"), F.col("nbrs").alias("nw")))
 
     def _pairs(side: str):
-        return (
-            base.filter(F.size(side) >= 2)
-            .select("v", "u", F.col(side).alias("s"), F.explode(side).alias("w"))
+        # ordered adjacent pairs within the side set: Σ_w |N(w) ∩ s|
+        # over w ∈ s counts each unordered pair twice → /2.  Each w
+        # contributes its own row's hits, so splitting the w-rows by
+        # temperature keeps the total exact.
+        rows = base.filter(F.size(side) >= 2).select(
+            "v", "u", F.col(side).alias("s"), F.explode(side).alias("w")
+        )
+        cold = (
+            rows.join(hot_w, "w", "left_anti")
             .join(adj_w, "w")
-            .select("v", "u", F.size(F.array_intersect("nw", "s")).alias("hits"))
+            .select("v", "u", F.size(F.array_intersect("nw", "s")).cast("long").alias("hits"))
+        )
+        hot = (
+            rows.join(hot_w, "w", "left_semi")
+            .select("v", "u", "w", F.explode("s").alias("x"))
+            .filter(F.col("x") != F.col("w"))
+            .select("v", "u", F.least("w", "x").alias("a"), F.greatest("w", "x").alias("b"))
+            .join(ekeys, ["a", "b"])
+            .select("v", "u", F.lit(1).cast("long").alias("hits"))
+        )
+        return (
+            cold.unionByName(hot)
             .groupBy("v", "u")
             .agg((F.sum("hits") / 2).cast("long").alias("p"))
         )
@@ -496,6 +557,7 @@ def macro_counts(
     """
     n = g.num_vertices()
     m = g.num_edges()
+    own_counts = counts is None
     c = counts if counts is not None else edge_graphlet_counts(g, strategy)
     # decimal sums are only needed when Σ over m edges of ~n²-sized
     # terms can overflow int64; below that bound plain longs keep the
@@ -503,6 +565,11 @@ def macro_counts(
     big = _DEC if (force_decimal or n * n * m >= (1 << 62)) else "long"
     terms = _macro_terms(c, n, m, big)
     row = terms.agg(*[F.sum(col).alias(col) for col in terms.columns]).first()
+    if own_counts:
+        # totals are final — drop any lookup table the distributed
+        # kernel persisted for this one pass (callers who passed their
+        # own counts frame release it themselves when done)
+        release_internal_caches(c)
     s = {k: int(row[k] or 0) for k in terms.columns}
 
     # closure equations, exact ints (cpp:1449-1472)

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pgd_spark.graph import Graph
 
 
-def kcore(g: Graph, max_iter: int = 100, check_interval: int = 3) -> DataFrame:
+def kcore(
+    g: Graph,
+    max_iter: int = 100,
+    check_interval: int = 3,
+    checkpoint_dir: str | None = None,
+    log=None,
+) -> DataFrame:
     """[v, core] — exact coreness. Also usable as the `kcore` edge-
     ordering feature for parity with the reference orderings.
 
@@ -31,20 +37,34 @@ def kcore(g: Graph, max_iter: int = 100, check_interval: int = 3) -> DataFrame:
     fixpoint check is an Observation metric on the LAST chained round's
     delta — the h-index iterate is non-increasing, so a zero last-round
     delta proves the fixpoint no matter where in the block it landed.
+
+    ``checkpoint_dir`` gives kcore the same durable resume its pregel
+    siblings have: each block's state lands in a (format-indirected)
+    table keyed by cumulative round, a killed run resumes from the
+    latest complete block, and max_iter exhaustion downgrades to a
+    resumable warning.  Resume is exact: the h-index fixpoint is
+    determined by the current iterate alone (memoryless), so iterating
+    onward from a checkpoint equals the uninterrupted run.
     """
+    import time
+
     from pyspark.sql import Observation
 
-    from pgd_spark.operators.pregel import suspend_aqe
+    from pgd_spark.operators.pregel import _cut_lineage, _latest_checkpoint, _nonconverged, suspend_aqe
 
     edges = g.symmetric()
-    labels = g.degrees().select("v", F.col("degree").cast("long").alias("core"))
-    labels = labels.localCheckpoint(eager=True)
+    labels, start_it = _latest_checkpoint(g.spark, checkpoint_dir, "kcore")
+    if labels is None:
+        labels = g.degrees().select("v", F.col("degree").cast("long").alias("core"))
+        labels = labels.localCheckpoint(eager=True)
+        start_it = 0
     converged = False
     k = max(check_interval, 1)
-    it = 0
+    it = start_it
     with suspend_aqe(g.spark):
         while it < max_iter:
             kk = min(k, max_iter - it)
+            t0 = time.time()
             cur = labels
             for _ in range(kk):
                 # one round = ONE reference to the previous iterate
@@ -72,20 +92,25 @@ def kcore(g: Graph, max_iter: int = 100, check_interval: int = 3) -> DataFrame:
             ).observe(
                 obs, F.sum((F.col("core") != F.col("prev")).cast("long")).alias("changed")
             ).select("v", "core")
-            labels = observed.localCheckpoint(eager=True)
-            changed = int(obs.get["changed"] or 0)
             it += kk
+            labels = _cut_lineage(observed, checkpoint_dir, "kcore", it, log)
+            changed = int(obs.get["changed"] or 0)
+            if log is not None:
+                # same convention as pagerank: the entry lands after its
+                # block's cut (metrics.jsonl trails by one block)
+                log.add(
+                    algo="kcore", iter=it, rounds=kk, changed=changed,
+                    seconds=round(time.time() - t0, 3),
+                )
             if changed == 0:
                 converged = True
                 break
     if not converged:
         # the h-index wavefront advances one hop per round: exhausting
-        # max_iter on a high-diameter graph silently returns cores that
-        # are upper bounds, not the true coreness — fail loudly instead
-        raise RuntimeError(
-            f"kcore did not converge within max_iter={max_iter}; "
-            "raise max_iter (rounds needed grow with graph diameter)"
-        )
+        # max_iter on a high-diameter graph returns cores that are
+        # upper bounds, not the true coreness — loud by default,
+        # resumable warning when a checkpoint_dir is given
+        _nonconverged("kcore", max_iter, resumable=bool(checkpoint_dir))
     return labels
 
 

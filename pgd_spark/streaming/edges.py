@@ -43,8 +43,14 @@ _STORE_SCHEMA = "src long, dst long, epoch int"
 
 def read_edge_store(spark: SparkSession, edge_store: str) -> DataFrame:
     """The canonical edge view over the epoch-partitioned store
-    (explicit schema: an empty/absent store reads as zero rows)."""
+    (explicit schema: an empty/absent store reads as zero rows).
+
+    With ``PGD_SPARK_TABLE_FORMAT=iceberg`` the store is a CATALOG
+    TABLE and ``edge_store`` is its identifier (e.g.
+    ``cat.db.edges``), not a path."""
     fmt = table_format()
+    if fmt == "iceberg":
+        return spark.read.table(edge_store).select("src", "dst")
     if fmt != "parquet":
         return spark.read.format(fmt).load(edge_store).select("src", "dst")
     return (
@@ -83,11 +89,32 @@ def streaming_edge_ingest(
         new_edges = g.edges
         fmt = table_format()
         if fmt == "iceberg":
-            raise NotImplementedError(
-                "iceberg streaming store needs a configured catalog "
-                "(epoch-partitioned table + overwrite-by-filter); "
-                "use parquet or delta for path-based stores"
+            # catalog-table store: edge_store is a TABLE IDENTIFIER in a
+            # configured Spark catalog.  Same layout contract as the
+            # path stores — one epoch partition per microbatch — but
+            # retry idempotence comes from the table format itself:
+            # overwritePartitions replaces exactly the partitions the
+            # batch writes (epoch=N) in one atomic commit, and a
+            # crashed attempt commits nothing, so the anti-join base
+            # (which still excludes epoch N defensively) never sees a
+            # half-written epoch.
+            s.sql(
+                f"CREATE TABLE IF NOT EXISTS {edge_store} "
+                "(src BIGINT, dst BIGINT, epoch INT) "
+                f"USING {fmt} PARTITIONED BY (epoch)"
             )
+            existing = (
+                s.read.table(edge_store)
+                .filter(F.col("epoch") != int(epoch_id))
+                .select("src", "dst")
+            )
+            new_edges = new_edges.join(existing, ["src", "dst"], "left_anti")
+            (
+                new_edges.withColumn("epoch", F.lit(int(epoch_id)))
+                .writeTo(edge_store)
+                .overwritePartitions()
+            )
+            return
         if os.path.isdir(edge_store):
             if fmt == "parquet":
                 existing = (

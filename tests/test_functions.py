@@ -180,3 +180,64 @@ def test_dedup_operators_release_internal_caches(spark, docs):
     docs.unpersist()
     assert cm.isEmpty(), "a dedup operator left an internal cache behind"
     docs.cache()
+
+
+def test_ivf_exhaustive_probe_equals_exact(spark):
+    """IVF with nprobe == n_centroids probes every list — must equal
+    the exact brute-force top-k bit-for-bit; a smaller nprobe returns
+    k rows per query (recall < 1 allowed, shape and determinism not)."""
+    import random
+
+    from pgd_spark.functions.similarity import cosine_topk, ivf_cosine_topk
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in cosine_topk(embs, queries, k=7).collect()
+    )
+    exhaustive = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_cosine_topk(
+            embs, queries, k=7, n_centroids=16, nprobe=16
+        ).collect()
+    )
+    assert exhaustive == exact
+    approx = ivf_cosine_topk(embs, queries, k=7, n_centroids=16, nprobe=4).collect()
+    assert {r["query_id"] for r in approx} == {0, 1, 2, 3, 4}
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 8)) for v in per_q.values())
+
+
+def test_ivf_index_reuse(spark):
+    """A persisted (centroids, assigned) pair from ivf_assign must give
+    the same answer as the build-inline path."""
+    import random
+
+    from pgd_spark.functions.similarity import ivf_assign, ivf_cosine_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cent, asg = ivf_assign(embs, n_centroids=8)
+    cent, asg = cent.cache(), asg.cache()
+    inline = sorted(
+        tuple(r) for r in ivf_cosine_topk(embs, queries, k=5, n_centroids=8, nprobe=3).collect()
+    )
+    reused = sorted(
+        tuple(r)
+        for r in ivf_cosine_topk(
+            embs, queries, k=5, nprobe=3, assigned=asg, centroids=cent
+        ).collect()
+    )
+    assert inline == reused
+    cent.unpersist(); asg.unpersist()

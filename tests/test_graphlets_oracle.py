@@ -69,3 +69,38 @@ def test_barabasi_albert_like(spark):
     for k in want:
         if k != "global_cc":
             assert got[k] == want[k], k
+
+
+def test_corrected_tailed_hub_skew(spark):
+    """micro_counts(pgd_quirk=False) on a hub graph: the corrected
+    tailed pass now routes hub wedge vertices through edge-key pair
+    probes (hot path) instead of funneling every hub row into one
+    adjacency-intersect reducer — values must equal the brute-force
+    oracle regardless of which physical route each vertex takes, with
+    the hub far past the hot threshold."""
+    rng = random.Random(9)
+    hub_deg = 600  # >> max(256, 8*avg_deg): the hub takes the hot path
+    edges = {(0, i) for i in range(1, hub_deg + 1)}
+    # ring + chords among the spokes so W-sets have adjacent pairs
+    for i in range(1, hub_deg, 2):
+        edges.add((i, i % hub_deg + 1))
+    edges |= {tuple(sorted(rng.sample(range(1, hub_deg + 1), 2))) for _ in range(400)}
+    # a few pendant tails hanging off spokes (pure tailed-tri fodder)
+    edges |= {(i, 10_000 + i) for i in range(1, 40)}
+    edges = sorted(edges)
+    g = make_graph(spark, edges)
+    rows = micro_counts(g, strategy="distributed", pgd_quirk=False).collect()
+    got = {
+        (r["src"], r["dst"]): (
+            r["triangle"], r["two_star"], r["clique4"], r["chordal_cycle4"],
+            r["tailed_tri4"], r["cycle4"], r["star3"], r["path4"],
+        )
+        for r in rows
+    }
+    assert got == micro(edges, pgd_quirk=False)
+    # and the per-edge tailed counts close against the macro total:
+    # every induced tailed-triangle has exactly one tail edge
+    total_tailed = sum(v[4] for v in got.values())
+    from pgd_spark.operators.graphlets import macro_counts as _mc
+
+    assert total_tailed == _mc(g, strategy="distributed")["total_4_tailed_tris"]

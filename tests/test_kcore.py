@@ -29,3 +29,37 @@ def test_max_core_chain_plus_clique(spark):
     assert max_core(g) == 4
     got = {r["v"]: r["core"] for r in kcore(g).collect()}
     assert got[0] == 1 and got[100] == 4
+
+
+def test_kcore_resume_from_checkpoint(spark, tmp_path):
+    """A budgeted kcore run with a checkpoint_dir warns (instead of
+    raising) on max_iter exhaustion and a follow-up call resumes from
+    the durable state to the exact same fixpoint as a fresh run —
+    parity with the pagerank/CC/LPA resume contract."""
+    edges = gnp(40, 0.12, 7)
+    g = make_graph(spark, edges)
+    ckpt = str(tmp_path / "ck")
+    with pytest.warns(RuntimeWarning, match="resume"):
+        kcore(g, max_iter=1, check_interval=1, checkpoint_dir=ckpt)
+    import os
+
+    assert os.path.isdir(os.path.join(ckpt, "kcore")), "no durable state written"
+    resumed = {
+        r["v"]: r["core"] for r in kcore(g, checkpoint_dir=ckpt).collect()
+    }
+    fresh = {r["v"]: r["core"] for r in kcore(g).collect()}
+    assert resumed == fresh
+    assert fresh == nx.core_number(nx.Graph(edges))
+
+
+def test_kcore_metrics_logged(spark, tmp_path):
+    from pgd_spark.operators.pregel import IterationLog
+
+    g = make_graph(spark, gnp(30, 0.15, 4))
+    log = IterationLog()
+    kcore(g, checkpoint_dir=str(tmp_path / "ck"), log=log)
+    assert log.entries and log.entries[-1]["changed"] == 0
+    assert all(e["algo"] == "kcore" for e in log.entries)
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path / "ck"), "kcore", "metrics.jsonl"))

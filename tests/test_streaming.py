@@ -207,3 +207,63 @@ def test_compaction_roll_forward_after_crash(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(store) if d.startswith("epoch="))
     assert dirs == ["epoch=0", "epoch=4"], dirs
     assert not os.path.isdir(stage) and not os.path.isdir(trash)
+
+
+def _iceberg_on_classpath(spark) -> bool:
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_streaming_iceberg_store(spark, tmp_path, monkeypatch):
+    """Catalog-table variant of the epoch store: the streaming
+    anti-join appends into an epoch-partitioned iceberg table via
+    atomic overwritePartitions.  Skips unless the iceberg runtime jar
+    is on the classpath (the sandbox ships none) — the parquet default
+    covers the shared derivation/anti-join logic above."""
+    import pytest
+
+    if not _iceberg_on_classpath(spark):
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+    wh = str(tmp_path / "wh")
+    spark.conf.set(
+        "spark.sql.catalog.pgdtest", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.pgdtest.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.pgdtest.warehouse", wh)
+    monkeypatch.setenv("PGD_SPARK_TABLE_FORMAT", "iceberg")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pgdtest.db")
+
+    t_all = generate_transcripts(spark, 30).cache()
+    vm = vertex_map(t_all).cache()
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    table = "pgdtest.db.edges"
+
+    batch1 = t_all.filter("conv_id < 'c00000015'")
+    batch2 = t_all.filter("conv_id >= 'c00000015'")
+    batch1.write.mode("overwrite").parquet(in_dir)
+    streaming_edge_ingest(spark, in_dir, table, ckpt, vm).awaitTermination(120)
+    batch2.write.mode("append").parquet(in_dir)
+    streaming_edge_ingest(spark, in_dir, table, ckpt, vm).awaitTermination(120)
+
+    got_rows = read_edge_store(spark, table).collect()
+    got = {(r["src"], r["dst"]) for r in got_rows}
+    assert len(got_rows) == len(got), "store contains duplicate edges"
+    want_g, _ = edges_from_transcripts(t_all, vmap=vm)
+    want = {(r["src"], r["dst"]) for r in want_g.edges.collect()}
+    assert got == want
+    # incrementality: epoch 1 holds only the batch-2 delta
+    ep1 = {
+        (r["src"], r["dst"])
+        for r in spark.read.table(table).filter("epoch = 1").collect()
+    }
+    g1, _ = edges_from_transcripts(batch1, vmap=vm)
+    e1 = {(r["src"], r["dst"]) for r in g1.edges.collect()}
+    g2, _ = edges_from_transcripts(batch2, vmap=vm)
+    e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert ep1 == e2 - e1
