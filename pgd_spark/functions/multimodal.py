@@ -7,7 +7,9 @@ moves one Arrow buffer, never per-row Python objects.
 
 The actual codecs (PIL/libav/etc.) are NOT in this container, so the
 decode step is stubbed two ways:
-* ``use_real_codecs=True``  → NotImplementedError (clearly marked).
+* ``use_real_codecs=True``  → PIL when importable ON THE WORKER (wired
+  below; a skip-unless-importable test covers it), else a clearly
+  marked NotImplementedError naming the missing wheel.
 * default                   → a deterministic fake decoder that derives
   plausible metadata from the payload bytes, keeping every Spark-side
   contract real and testable: schema, partitioning, Arrow batch shape,
@@ -45,19 +47,47 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float, str]:
     return width, height, channels, mean_luma, fmt
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, int, float, str]:
+    """Real decode via PIL (import deferred to the worker; callers gate
+    on availability).  mean_luma matches the fake decoder's [0,1]
+    scale: mean of the L-converted image / 255."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        width, height = im.size
+        channels = len(im.getbands())
+        fmt = (im.format or "unknown").lower()
+        luma = im.convert("L")
+        mean_luma = float(np.asarray(luma, dtype=np.float64).mean() / 255.0)
+    return width, height, channels, mean_luma, fmt
+
+
 def decode_image_meta(
     df: DataFrame, id_col: str = "doc_id", use_real_codecs: bool = False
 ) -> DataFrame:
-    """binary payload → typed image metadata via mapInPandas."""
+    """binary payload → typed image metadata via mapInPandas.
+
+    ``use_real_codecs=True`` decodes with PIL inside the Arrow batches
+    (one import per worker, zero per-row Python beyond the decode
+    itself); if PIL isn't installed on the workers the task raises a
+    NotImplementedError naming the wheel to deploy."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode
         if use_real_codecs:
-            raise NotImplementedError(
-                "real image codecs (PIL/turbojpeg) are not available in this "
-                "environment; deploy with the codec wheel and flip use_real_codecs"
-            )
+            try:
+                import PIL  # noqa: F401
+
+                decode = _pil_decode
+            except ImportError as e:
+                raise NotImplementedError(
+                    "use_real_codecs=True but PIL (pillow) is not importable on "
+                    "this worker; deploy the codec wheel alongside the job"
+                ) from e
         for pdf in batches:
-            metas = [_fake_decode(p) for p in pdf["payload"]]
+            metas = [decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(metas, columns=["width", "height", "channels", "mean_luma", "format"])
             out.insert(0, "doc_id", pdf[id_col].to_numpy())
             yield out

@@ -2,6 +2,7 @@ from pgd_spark.operators.graphlets import (
     edge_graphlet_counts,
     macro_counts,
     micro_counts,
+    release_internal_caches,
 )
 from pgd_spark.operators.pregel import (
     connected_components,
@@ -18,6 +19,7 @@ from pgd_spark.operators.vertex_micro import vertex_micro_counts
 __all__ = [
     "edge_graphlet_counts",
     "macro_counts",
+    "release_internal_caches",
     "micro_counts",
     "vertex_micro_counts",
     "approximate_macro_counts",

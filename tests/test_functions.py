@@ -143,8 +143,41 @@ def test_multimodal_plumbing(spark, docs):
     assert len(frames) >= len(meta)
     feats = image_features(media, dim=8).collect()
     assert all(len(r["features"]) == 8 for r in feats)
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        decode_image_meta(media, use_real_codecs=True).collect()
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        # no codec wheel in this environment: the flag must fail loudly,
+        # naming the missing dependency, never silently fall back
+        with pytest.raises(Exception, match="NotImplementedError|PIL|pillow"):
+            decode_image_meta(media, use_real_codecs=True).collect()
+
+
+def test_real_codec_decode_when_available(spark):
+    """With pillow importable, use_real_codecs=True must decode a real
+    PNG's true dimensions/format through the same mapInPandas plumbing.
+    Skips where the wheel is absent (this sandbox) — the flag then
+    raises, covered above."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        pytest.skip("pillow not installed")
+    import io
+
+    from PIL import Image
+
+    from pgd_spark.functions.multimodal import decode_image_meta
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21), color=(255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    meta = decode_image_meta(media, use_real_codecs=True).collect()
+    assert len(meta) == 1
+    r = meta[0]
+    assert (r["width"], r["height"], r["channels"], r["format"]) == (37, 21, 3, "png")
+    # pure red: luma = 0.299*255/255 within PIL's integer rounding
+    assert abs(r["mean_luma"] - 0.299) < 0.01
 
 
 def test_salted_join_equivalence(spark):
