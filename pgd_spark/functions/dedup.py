@@ -113,16 +113,29 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 
 def _materialize_and_release(out: DataFrame, *caches: DataFrame) -> DataFrame:
-    """Run the plan once (eager localCheckpoint of the SMALL result —
-    near-dup pair lists are O(duplicates), bounded by the bucket caps),
-    then release every internal cache.  The dedup operators cache their
+    """Run the plan once (EAGERLY — callers pay the full dedup compute
+    at call time, not at first action; the result is SMALL, near-dup
+    pair lists are O(duplicates) bounded by the bucket caps), then
+    release every internal cache.  The dedup operators cache their
     shingle/signature tables because one plan reads them 3-4 times; a
     lazily-returned DataFrame can't unpersist those caches without
     losing them, so they leaked for the life of the session (ADVICE r3:
-    41.6 s minhash bench held two shingle caches forever).  Result
-    blocks persist MEMORY_AND_DISK on executors and are freed by the
-    ContextCleaner when the returned frame is dropped."""
-    out = out.localCheckpoint(eager=True)
+    41.6 s minhash bench held two shingle caches forever).
+
+    Durability (ADVICE r4): if the session has a RELIABLE checkpoint
+    dir configured (``sc.setCheckpointDir``), the result is cut with
+    ``checkpoint()`` — it survives executor loss / dynamic
+    deallocation, the right mode on a real cluster.  Without one it
+    falls back to ``localCheckpoint``: executor-held blocks with NO
+    recompute path if an executor dies — fine for local mode, so
+    cluster deployments of the dedup operators should set a
+    checkpoint dir (as the pregel suite's checkpoint_dir already
+    does for iterative state)."""
+    sc = out.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        out = out.checkpoint(eager=True)
+    else:
+        out = out.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
     return out

@@ -106,7 +106,18 @@ def sample_frames(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if use_real_codecs:
-            raise NotImplementedError("video codecs not available; see decode_image_meta")
+            # Same contract as decode_image_meta's image branch: the
+            # real-codec path names the wheel(s) to deploy.  No video
+            # decoder lib ships in this sandbox (pyav / imageio-ffmpeg
+            # both absent — COVERAGE.md), so unlike the PIL branch
+            # there is no tested real implementation to dispatch to.
+            raise NotImplementedError(
+                "use_real_codecs=True but no video decoder (pyav or "
+                "imageio-ffmpeg) is available on this worker; deploy a "
+                "codec wheel alongside the job — the deterministic fake "
+                "decoder (use_real_codecs=False) exercises the full "
+                "Spark plumbing"
+            )
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):

@@ -15,10 +15,12 @@
                       index build), queries probe their nprobe nearest
                       centroid lists and re-score exactly.  Centroids
                       are a deterministic hash-min sample of the items
-                      (the standard IVF bootstrap without the k-means
-                      refinement sweeps), so the whole operator —
-                      selection, assignment, probe, re-score — replays
-                      value-for-value in portable SQL.
+                      (the standard IVF bootstrap), so the whole
+                      operator — selection, assignment, probe,
+                      re-score — replays value-for-value in portable
+                      SQL; ``refine_sweeps`` optionally runs k-means
+                      (Lloyd) update sweeps on the bootstrap for higher
+                      recall on clustered data (non-oracle path).
 """
 
 from __future__ import annotations
@@ -157,11 +159,53 @@ IVF_MOD = 2_147_483_647
 IVF_A = 1_103_515_245
 
 
+def _assign_nearest(it: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """[id, ivec, inorm, cid] — each item's best-cosine centroid.
+
+    argmax-per-item as an AGGREGATE, not a window: max of a struct
+    ordered (csim, -cid) picks best cosine with ties → lower cid,
+    exactly row_number semantics — but partial aggregation collapses
+    each item's C scored rows map-side (the broadcast crossJoin never
+    moved them off the item's partition), so the shuffle carries N rows
+    instead of N×C (ADVICE r4 / VERDICT #5).  cid is unique per
+    centroid, so the array fields after it in the struct are never
+    reached by the comparison."""
+    return (
+        it.crossJoin(F.broadcast(cent))
+        .select(
+            id_col,
+            "ivec",
+            "inorm",
+            "cid",
+            _cosine(F.col("ivec"), F.col("cvec"), F.col("inorm"), F.col("cnorm")).alias("csim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cid").cast("long")).alias("_negcid"),
+                    F.col("cid"),
+                    F.col("ivec"),
+                    F.col("inorm"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            F.col("_best.ivec").alias("ivec"),
+            F.col("_best.inorm").alias("inorm"),
+            F.col("_best.cid").alias("cid"),
+        )
+    )
+
+
 def ivf_assign(
     items: DataFrame,
     n_centroids: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_sweeps: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """(centroids [cid, cvec, cnorm], assigned [id, ivec, inorm, cid])
     — the IVF index build.  Centroids are the ``n_centroids`` items
@@ -169,7 +213,20 @@ def ivf_assign(
     SQL-replayable); each item joins the broadcast centroid block once
     and keeps its best-cosine centroid (ties → lower cid).  One scan
     over the items; at corpus scale persist ``assigned`` as the index
-    and reuse it across query batches."""
+    and reuse it across query batches.
+
+    ``refine_sweeps`` > 0 runs that many k-means update sweeps before
+    the final assignment: assign → new centroid = member mean (the
+    k-means/Lloyd update; on clustered data this moves the bootstrap
+    sample toward the true cluster centers and lifts recall at a given
+    nprobe).  A centroid that loses all members keeps its previous
+    vector.  Each sweep costs one assignment pass plus one N×dim
+    posexplode partial-agg (map-side combined to C×dim rows).  The
+    DEFAULT (0) is the pure hash-min bootstrap, which replays
+    value-for-value in portable SQL — the oracle path; float mean
+    summation order makes refined centroids bit-nondeterministic, so
+    sweeps are for recall, not for the oracle."""
+    spark = items.sparkSession
     cent = (
         items.select(F.col(id_col), F.col(vec_col))
         .withColumn(
@@ -187,20 +244,34 @@ def ivf_assign(
     it = items.select(
         F.col(id_col), F.col(vec_col).alias("ivec"), _norm(F.col(vec_col)).alias("inorm")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
-    assigned = (
-        it.crossJoin(F.broadcast(cent))
-        .select(
-            id_col,
-            "ivec",
-            "inorm",
-            "cid",
-            _cosine(F.col("ivec"), F.col("cvec"), F.col("inorm"), F.col("cnorm")).alias("csim"),
+    for _ in range(refine_sweeps):
+        members = _assign_nearest(it, cent, id_col)
+        # Lloyd update, JVM-side: element sums via posexplode (partial
+        # aggregation collapses to C×dim rows map-side), mean = sum/n
+        sums = (
+            members.select("cid", F.posexplode("ivec").alias("_pos", "_x"))
+            .groupBy("cid", "_pos")
+            .agg(F.sum(F.col("_x").cast("double")).alias("_s"), F.count(F.lit(1)).alias("_n"))
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "ivec", "inorm", "cid")
-    )
+        newc = (
+            sums.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_s", "_n"))),
+                    lambda p: (p["_s"] / p["_n"]).cast("float"),
+                ).alias("cvec")
+            )
+        )
+        merged = (
+            cent.select("cid", F.col("cvec").alias("_old"))
+            .join(newc, "cid", "left")
+            .select("cid", F.coalesce("cvec", "_old").alias("cvec"))
+            .withColumn("cnorm", _norm(F.col("cvec")))
+        )
+        # the centroid block is tiny (it is broadcast everywhere below);
+        # materialize it on the driver so sweep plans don't stack lineage
+        cent = spark.createDataFrame(merged.collect(), merged.schema)
+    assigned = _assign_nearest(it, cent, id_col)
     return cent, assigned
 
 
@@ -215,6 +286,8 @@ def ivf_cosine_topk(
     query_id_col: str = "query_id",
     assigned: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    broadcast_probes: bool | None = None,
+    refine_sweeps: int = 0,
 ) -> DataFrame:
     """[query_id, vec_id, rank, sim] — IVF-flat approximate top-k:
     each query probes its ``nprobe`` best centroids and exactly
@@ -222,9 +295,31 @@ def ivf_cosine_topk(
     O(n_centroids + Σ probed-list sizes) instead of O(N); recall
     rises with nprobe (nprobe = n_centroids is exhaustive = exact).
     Pass a persisted (``centroids``, ``assigned``) pair from
-    :func:`ivf_assign` to reuse the index across query batches."""
+    :func:`ivf_assign` to reuse the index across query batches.
+
+    ``broadcast_probes``: the probe frame is |queries| × nprobe rows,
+    each carrying the full query vector — broadcast-joining it against
+    ``assigned`` is only safe while that fits executor memory.  None
+    (default) sizes it with one cheap agg over the query batch and
+    broadcasts iff the estimate fits the session's
+    autoBroadcastJoinThreshold (the same discipline as
+    graphlets._dist_plumbing); large batches fall back to a
+    shuffle-hash join on cid.  Pass True/False to skip the sizing agg
+    when the caller already knows the batch shape."""
     if assigned is None or centroids is None:
-        centroids, assigned = ivf_assign(items, n_centroids, id_col, vec_col)
+        centroids, assigned = ivf_assign(
+            items, n_centroids, id_col, vec_col, refine_sweeps=refine_sweeps
+        )
+    if broadcast_probes is None:
+        nq, qdim = queries.agg(
+            F.count(F.lit(1)), F.coalesce(F.max(F.size(vec_col)), F.lit(0))
+        ).first()
+        threshold = max(
+            int(queries.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864")),
+            0,
+        )
+        # per probe row: qvec doubles + id/norm/struct overhead
+        broadcast_probes = nq * nprobe * (8 * qdim + 96) <= threshold
     qs = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("qvec"), _norm(F.col(vec_col)).alias("qnorm")
     )
@@ -242,7 +337,8 @@ def ivf_cosine_topk(
         .filter(F.col("_rn") <= nprobe)
         .select(query_id_col, "qvec", "qnorm", "cid")
     )
-    scored = assigned.join(F.broadcast(probes), "cid").select(
+    probe_side = F.broadcast(probes) if broadcast_probes else probes.hint("shuffle_hash")
+    scored = assigned.join(probe_side, "cid").select(
         query_id_col,
         id_col,
         _cosine(F.col("ivec"), F.col("qvec"), F.col("inorm"), F.col("qnorm")).alias("sim"),

@@ -55,17 +55,32 @@ def _default_driver_mem() -> str:
 
 
 def _mem_to_mb(mem: str) -> int:
-    """'14g' / '512m' → MiB (JVM -Xmx suffix grammar, defaults to MiB)."""
+    """'14g' / '4gb' / '512m' → MiB.  Accepts the JVM -Xmx suffixes
+    k/m/g/t plus the colloquial kb/mb/gb/tb spellings; a bare number is
+    BYTES, exactly as -Xmx treats it.  An unparseable string (e.g. a
+    typo'd PGD_SPARK_DRIVER_MEM) warns and falls back to 4096 MiB —
+    never a silent wrong broadcast threshold (ADVICE r4)."""
+    import warnings
+
     s = mem.strip().lower()
+    if len(s) > 1 and s.endswith("b") and s[-2] in "kmgt":
+        s = s[:-1]
     try:
+        if s.endswith("t"):
+            return int(float(s[:-1]) * 1024 * 1024)
         if s.endswith("g"):
             return int(float(s[:-1]) * 1024)
         if s.endswith("m"):
             return int(float(s[:-1]))
         if s.endswith("k"):
             return max(int(float(s[:-1]) / 1024), 1)
-        return int(float(s))
+        return max(int(float(s) / (1024 * 1024)), 1)
     except ValueError:
+        warnings.warn(
+            f"unparseable memory string {mem!r}; assuming 4096 MiB for the "
+            "broadcast-threshold calculation",
+            stacklevel=2,
+        )
         return 4096
 
 

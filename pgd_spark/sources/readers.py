@@ -144,22 +144,21 @@ def read_mtx(spark: SparkSession, path: str, track_lineage: bool = False) -> Gra
         )
     )
     # drop the single dims header row "n n m" — the first non-comment
-    # line, i.e. min _rid.  The min is computed with a global-frame
-    # window over the SAME subtree, so monotonically_increasing_id is
-    # evaluated exactly once per row and the min is taken from those
-    # very values — the previous broadcast-anti-join variant evaluated
-    # the nondeterministic id in two independent scans and only matched
-    # because both re-read the file with identical splits (ADVICE r3: a
-    # plan/source change could silently keep the header or drop a real
-    # edge).  The empty-partition window serializes one pass over the
-    # file; mtx is a single-file text parity format, so that pass is
-    # already single-stream at the source.
-    from pyspark.sql import Window
-
-    wmin = F.min("_rid").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    edges = data.withColumn("_first", wmin).filter(F.col("_rid") != F.col("_first")).drop("_first")
+    # line, i.e. min _rid.  monotonically_increasing_id is
+    # nondeterministic across independent scans (ADVICE r3: two scans
+    # only matched because both re-read the file with identical splits),
+    # so the ids are pinned ONCE with an eager localCheckpoint; the min
+    # and the filter then both read those very materialized values.
+    # Unlike the r4 global-frame window (which funneled the whole file
+    # through one task and left downstream single-partitioned — ADVICE
+    # r4), the checkpoint preserves the text source's split
+    # partitioning, so big .mtx inputs keep their scan parallelism.
+    # localCheckpoint blocks are not executor-loss tolerant; a lost
+    # block on a real cluster fails the read rather than silently
+    # re-deriving different ids, which is the correct failure mode here.
+    data = data.localCheckpoint(eager=True)
+    first_rid = data.agg(F.min("_rid")).first()[0]
+    edges = data.filter(F.col("_rid") != F.lit(first_rid))
     g = Graph.from_edges(edges.drop("_rid"))
     if track_lineage:
         _attach_lineage(g, edges.filter(F.col("src") != F.col("dst")), mtx_identity=True)

@@ -120,11 +120,17 @@ def edges_from_transcripts(
     only read — the per-turn text invariant (stable (conv_id, turn_idx)
     ordering) is untouched by construction.
     """
-    vm = vmap if vmap is not None else vertex_map(transcripts)
-    # materialize the (small) vertex map once: broadcasting it twice
-    # below would otherwise recompute its full source scan per build
-    vm = vm.persist()
-    vm.count()
+    # Cache ownership: a vmap WE build is persisted here (it is
+    # broadcast twice below and would otherwise re-scan the source per
+    # build); a caller-provided vmap is used as-is — the caller owns its
+    # caching (every in-repo caller .cache()es theirs).  Re-persisting a
+    # caller's already-cached frame per call spammed "already cached"
+    # CacheManager warnings in the per-microbatch streaming path.
+    if vmap is not None:
+        vm = vmap
+    else:
+        vm = vertex_map(transcripts).persist()
+        vm.count()
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     t = transcripts.select(
         "conv_id", "turn_idx", "role", "tool", F.lead("role").over(w).alias("next_role")

@@ -186,7 +186,16 @@ def compact_edge_store(
     Returns the number of epoch directories removed (0 = nothing to do).
     """
     if table_format() != "parquet":
-        return 0  # delta/iceberg: use the table's own OPTIMIZE/rewrite
+        # This maintenance path is path-based parquet only: under
+        # delta/iceberg the store is a (catalog) table and listing
+        # epoch= dirs here would be wrong or fail confusingly
+        # (ADVICE r4) — fail loudly and name the native command.
+        raise NotImplementedError(
+            f"compact_edge_store handles the parquet epoch-dir store only; "
+            f"PGD_SPARK_TABLE_FORMAT={table_format()!r} stores compact with "
+            "the table's own maintenance — iceberg: CALL "
+            "system.rewrite_data_files(<table>), delta: OPTIMIZE <table>"
+        )
     if not os.path.isdir(edge_store):
         return 0
     _roll_forward(edge_store)

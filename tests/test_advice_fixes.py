@@ -243,3 +243,136 @@ def test_broadcast_threshold_scales_with_driver_mem():
     # the local-mode formula: min(384, heap/8) MB, floor 16
     assert min(384, max(_mem_to_mb("2g") // 8, 16)) == 256
     assert min(384, max(_mem_to_mb("24g") // 8, 16)) == 384
+
+
+# ---------------------------------------------------- round-4 ADVICE fixes
+def test_mem_to_mb_gb_spellings_bytes_and_warning():
+    """'4gb' must parse (not silently fall back to 4096); bare numbers
+    are BYTES per the -Xmx grammar the docstring cites; garbage warns."""
+    from pgd_spark.session import _mem_to_mb
+
+    assert _mem_to_mb("4gb") == 4 * 1024
+    assert _mem_to_mb("512mb") == 512
+    assert _mem_to_mb("1t") == 1024 * 1024
+    assert _mem_to_mb(str(256 * 1024 * 1024)) == 256  # bare number = bytes
+    with pytest.warns(UserWarning, match="unparseable"):
+        assert _mem_to_mb("lots") == 4096
+
+
+def test_compact_edge_store_rejects_non_parquet_formats(spark, tmp_path, monkeypatch):
+    """Under delta/iceberg the store is a table, not an epoch-dir tree —
+    compaction must fail loudly naming the native maintenance command,
+    not silently no-op or FileNotFoundError on a path listing."""
+    from pgd_spark.streaming.edges import compact_edge_store
+
+    monkeypatch.setenv("PGD_SPARK_TABLE_FORMAT", "iceberg")
+    with pytest.raises(NotImplementedError, match="rewrite_data_files"):
+        compact_edge_store(spark, str(tmp_path / "nonexistent"))
+    monkeypatch.setenv("PGD_SPARK_TABLE_FORMAT", "delta")
+    with pytest.raises(NotImplementedError, match="OPTIMIZE"):
+        compact_edge_store(spark, str(tmp_path / "nonexistent"))
+
+
+def test_ivf_assign_is_aggregate_not_window(spark):
+    """The nearest-centroid argmax must be a partial-aggregable groupBy
+    (shuffle carries N rows), not a row_number window over the N x C
+    scored frame — and ties must still break to the lower cid."""
+    from pgd_spark.functions.similarity import ivf_assign
+
+    items = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0]) for i in range(1, 25)],
+        "vec_id long, embedding array<float>",
+    )
+    cent, assigned = ivf_assign(items, n_centroids=4)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "assignment must not use a window"
+    rows = assigned.collect()
+    assert len(rows) == 24
+    cents = {r["cid"]: None for r in cent.collect()}
+    # determinism incl. ties: identical vectors get identical centroids,
+    # and every assigned cid is a real centroid
+    by_vec = {}
+    for r in rows:
+        assert r["cid"] in cents
+        key = tuple(round(x, 6) for x in r["ivec"])
+        by_vec.setdefault(key, set()).add(r["cid"])
+    assert all(len(s) == 1 for s in by_vec.values())
+
+
+def test_ivf_topk_large_batch_falls_back_to_shuffle_join(spark):
+    """broadcast_probes=False (and the auto path under a tiny threshold)
+    must produce the same rows as the broadcast plan."""
+    from pgd_spark.functions.similarity import ivf_cosine_topk
+
+    items = spark.createDataFrame(
+        [(i, [float((i * 7) % 13), float((i * 3) % 5), 1.0]) for i in range(1, 61)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(q, [float(q % 13), float(q % 5), 1.0]) for q in range(5)],
+        "query_id long, embedding array<float>",
+    )
+    a = ivf_cosine_topk(items, queries, k=3, n_centroids=8, nprobe=8,
+                        broadcast_probes=True).collect()
+    b = ivf_cosine_topk(items, queries, k=3, n_centroids=8, nprobe=8,
+                        broadcast_probes=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_caller_owned_vmap_is_not_repersisted(spark):
+    """edges_from_transcripts must not persist() a caller-provided vmap
+    (per-microbatch re-persist spammed CacheManager warnings); a vmap it
+    builds itself is still cached for its two broadcast uses."""
+    from pgd_spark.sources.transcripts import (
+        edges_from_transcripts,
+        generate_transcripts,
+        vertex_map,
+    )
+
+    t = generate_transcripts(spark, n_conv=20)
+    vm = vertex_map(t)  # deliberately NOT cached by the caller
+    g, vm_out = edges_from_transcripts(t, vmap=vm)
+    assert vm_out is vm
+    assert not vm.storageLevel.useMemory and not vm.storageLevel.useDisk
+    g.edges.count()  # the derivation itself still works
+    # self-built path: persisted exactly once, and usable
+    g2, vm2 = edges_from_transcripts(t)
+    assert vm2.storageLevel.useMemory
+    assert g2.edges.count() == g.edges.count()
+    vm2.unpersist()
+
+
+def test_video_real_codec_contract_names_wheels(spark):
+    """sample_frames(use_real_codecs=True) must raise the same
+    named-wheel NotImplementedError contract as the image path."""
+    from pgd_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id long, payload binary")
+    with pytest.raises(Exception) as ei:
+        sample_frames(df, use_real_codecs=True).collect()
+    assert "pyav" in str(ei.value) or "imageio-ffmpeg" in str(ei.value)
+
+
+def test_dedup_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With sc.setCheckpointDir configured, dedup results must survive
+    via a reliable checkpoint (executor-loss tolerant) and still release
+    every internal cache; results identical to the local path."""
+    from pgd_spark.functions.dedup import minhash_dedup as minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + ("x" if i % 7 else ""))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    base = minhash_dedup_pairs(docs).collect()
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        rel = minhash_dedup_pairs(docs).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, rel))
+        import os
+        assert os.listdir(str(tmp_path / "ck")), "reliable checkpoint dir unused"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+    assert sc.getCheckpointDir() is None
