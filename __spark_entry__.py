@@ -384,6 +384,32 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs
+    (pgd_spark.functions.similarity.embedding_neardup_pairs): sign-LSH
+    bucket self-join candidates + exact cosine re-score, oracle replays
+    the same seeded planes.  The testdata embeddings are unclustered
+    Gaussians (max pairwise cosine ≈0.51), so the demo threshold is
+    0.45 with low-bit tables; real near-dup corpora run the 0.9+/8-bit
+    defaults."""
+    from pgd_spark.functions.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.45, bits=4, tables=8, dim=64, max_bucket=400
+    )
+
+
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Pair list → duplicate clusters → canonical keep-set
+    (pgd_spark.functions.dedup.dup_clusters): connected components of
+    the minhash near-dup graph via the engine's own Pregel CC; the
+    oracle closes the same pairs with a recursive CTE."""
+    from pgd_spark.functions.dedup import dup_clusters, minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    return dup_clusters(minhash_dedup(docs, n=3, threshold=0.7), docs=docs)
+
+
 def q_multimodal_meta(spark, sf_dir):
     from pgd_spark.functions.multimodal import attach_fake_payload, decode_image_meta
 
@@ -441,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_neardup": q_emb_neardup,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "multimodal_meta": q_multimodal_meta,
         "transcript_graph_census": q_transcript_graph_census,
     }
@@ -1044,7 +1072,7 @@ edges AS (
         )
         for bi in range(16)
     )
-    o["doc_minhash_dedup"] = (
+    minhash_sql = (
         "WITH "
         + _SQL_SHINGLES
         + f""",
@@ -1073,6 +1101,32 @@ SELECT i.id_a, i.id_b,
 FROM inter i JOIN sizes sa ON i.id_a = sa.id JOIN sizes sb ON i.id_b = sb.id
 WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.7"""
     )
+    o["doc_minhash_dedup"] = minhash_sql
+
+    # ---- dup clusters: transitive closure of the SAME minhash pairs
+    # via a recursive CTE (the engine side closes them with its Pregel
+    # connected-components operator); canonical = component min, every
+    # doc appears (singletons keep themselves)
+    o["doc_dedup_clusters"] = f"""
+WITH RECURSIVE mh_pairs AS (
+  SELECT id_a, id_b FROM ({minhash_sql}) mh
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+r(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM r GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+       CASE WHEN coalesce(c.canonical_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN comp c ON c.doc_id = d.doc_id"""
 
     sfam = hash_family(64, seed=42)
     bit_sums = ",\n       ".join(
@@ -1160,6 +1214,30 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5"""
+
+    # ---- embedding near-dup: same seeded planes (bits=4, tables=8),
+    # bucket SELF-join + bucket-size cap + exact cosine threshold —
+    # replays the operator value-for-value
+    nd_union = "\n    UNION ALL ".join(
+        f"SELECT {t} AS t, {_bucket_sql('v', _hyperplanes(64, 4, t, 42))} AS b, vec_id AS id FROM it"
+        for t in range(8)
+    )
+    o["emb_neardup"] = f"""
+WITH it AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+hashed AS (
+    {nd_union}
+),
+counts AS (SELECT t, b, count(*) AS c FROM hashed GROUP BY t, b),
+keyed AS (SELECT h.* FROM hashed h JOIN counts c USING (t, b) WHERE c.c <= 400),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM keyed x JOIN keyed y ON x.t = y.t AND x.b = y.b AND x.id < y.id
+),
+scored AS (
+  SELECT c.id_a, c.id_b, list_cosine_similarity(a.v, b.v) AS sim
+  FROM cand c JOIN it a ON a.vec_id = c.id_a JOIN it b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.45"""
 
     # ---- IVF ANN: centroid selection is a portable hash-min sample,
     # assignment/probe/re-score are plain cosine argmax — the whole

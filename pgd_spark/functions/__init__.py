@@ -5,6 +5,7 @@ from pgd_spark.functions.textstats import (
     token_count,
 )
 from pgd_spark.functions.dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_dedup,
     ngram_jaccard_pairs,
@@ -12,6 +13,7 @@ from pgd_spark.functions.dedup import (
 )
 from pgd_spark.functions.similarity import (
     cosine_topk,
+    embedding_neardup_pairs,
     ivf_assign,
     ivf_cosine_topk,
     lsh_cosine_topk,
@@ -26,8 +28,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_dedup",
     "simhash_dedup",
+    "dup_clusters",
     "cosine_topk",
     "lsh_cosine_topk",
+    "embedding_neardup_pairs",
     "ivf_cosine_topk",
     "ivf_assign",
 ]

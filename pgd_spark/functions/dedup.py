@@ -381,3 +381,55 @@ def simhash_dedup(
         .select("id_a", "id_b", "hamming")
     )
     return _materialize_and_release(out, sig)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """[doc_id, canonical_id, keep] — close a near-dup PAIR list (from
+    any of exact/jaccard/minhash/simhash/embedding dedup) into duplicate
+    CLUSTERS and pick one canonical survivor per cluster.
+
+    Near-duplication is not transitive, but production dedup keeps one
+    doc per CONNECTED component of the pair graph (the standard
+    MinHash-dedup contract — e.g. the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" pipeline); canonical =
+    the component's minimum doc id, so the keep-set is deterministic.
+
+    The closure IS our link-graph engine: the pair list becomes a
+    :class:`~pgd_spark.graph.Graph` and components come from the
+    Pregel ``connected_components`` operator (hashmin; O(diameter)
+    rounds — dup clusters are near-cliques, so 2-3 rounds), which
+    means the same skew handling, lazy round-chaining, and
+    checkpoint/resume apply at corpus scale.  Docs in no pair are
+    their own canonical (``keep = 1``).
+
+    ``docs`` (optional): the full corpus frame; when given, every doc
+    id appears in the output (singletons included) — omit it to get
+    only the docs that are in some duplicate cluster.
+    """
+    from ..graph import Graph
+    from ..operators.pregel import connected_components
+
+    g = Graph.from_edges(pairs, src=a_col, dst=b_col)
+    cc = connected_components(g, checkpoint_dir=checkpoint_dir)
+    clustered = cc.select(
+        F.col("v").alias(id_col), F.col("component").alias("canonical_id")
+    )
+    if docs is not None:
+        everyone = docs.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+        clustered = (
+            everyone.join(clustered, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+            )
+        )
+    return clustered.withColumn(
+        "keep", (F.col(id_col) == F.col("canonical_id")).cast("int")
+    )

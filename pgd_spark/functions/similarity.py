@@ -349,3 +349,95 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def embedding_neardup_pairs(
+    items: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """[id_a < id_b, sim] — embedding-cosine near-duplicate pairs (the
+    embedding flavor of the dedup family in functions.dedup).
+
+    Candidates come from a sign-LSH bucket SELF-join — never all-pairs:
+    per table the items hash to ``bits``-bit sign buckets (the same
+    seeded hyperplanes as :func:`lsh_cosine_topk`), candidate pairs are
+    same-bucket collisions in ANY table, and only candidates get the
+    exact cosine re-score + threshold filter (no false positives;
+    recall is the standard 1-(1-p^bits)^tables sign-LSH curve with
+    p = 1 - θ/π — the defaults put ≥99% recall at cosine ≥ 0.9;
+    weaker thresholds need fewer bits).
+
+    Scale shape: the bucket join carries ONLY (table, bucket, id) rows
+    — vectors rejoin by id afterward, so the self-join shuffle never
+    moves embeddings.  ``max_bucket`` skips buckets larger than the cap
+    (a degenerate bucket of B items implies B²/2 candidate pairs; other
+    tables still recall its pairs), bounding the worst case on
+    near-constant embedding regions.  Executes eagerly and releases its
+    internal caches (same contract as the text dedup operators).
+    """
+    from .dedup import _materialize_and_release
+
+    if dim is None:
+        dim = len(items.select(vec_col).first()[0])
+    bucket_structs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t, seed)
+        bucket_structs.append(
+            F.struct(F.lit(t).alias("t"), _bucket_expr(F.col(vec_col), planes).alias("b"))
+        )
+    hashed = (
+        items.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*bucket_structs)).alias("bk"),
+        )
+        .select(F.col("bk.t").alias("t"), F.col("bk.b").alias("b"), "id")
+        .cache()
+    )
+    keyed = hashed
+    if max_bucket is not None:
+        big = (
+            hashed.groupBy("t", "b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_bucket)
+        )
+        keyed = hashed.join(big.select("t", "b"), ["t", "b"], "left_anti")
+    cand = (
+        keyed.select("t", "b", F.col("id").alias("id_a"))
+        .join(keyed.select("t", "b", F.col("id").alias("id_b")), ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = items.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    out = (
+        cand.join(
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+    return _materialize_and_release(out, hashed)

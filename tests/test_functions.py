@@ -323,3 +323,80 @@ def test_ivf_refine_sweeps_improve_recall_on_clustered_data(spark):
         )
     )
     assert refined > base, f"refinement did not improve recall: {base} -> {refined}"
+
+
+def test_embedding_neardup_pairs(spark):
+    """Planted near-dups: exact re-score means NO false positives, and
+    identical/near-identical vectors collide in every table → recalled."""
+    import numpy as np
+
+    from pgd_spark.functions.similarity import embedding_neardup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((30, 16)).astype("float32")
+    base[7] = base[3] + rng.standard_normal(16).astype("float32") * 0.01  # near-dup of 3
+    base[21] = base[9]                                                    # exact dup of 9
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_neardup_pairs(
+            items, threshold=0.95, bits=6, tables=8, dim=16
+        ).collect()
+    }
+    # brute-force truth
+    M = base.astype("float64")
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    truth = {
+        (a, b)
+        for a in range(30)
+        for b in range(a + 1, 30)
+        if float(M[a] @ M[b]) >= 0.95
+    }
+    assert truth == {(3, 7), (9, 21)}
+    # no false positives (exact re-score) and both planted pairs recalled
+    assert set(got) == truth
+    assert got[(9, 21)] == 1.0
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """max_bucket skips degenerate buckets: 20 identical vectors form a
+    190-pair clique; capping below 20 drops every bucket they share, so
+    the pair list is empty — the documented worst-case bound."""
+    from pgd_spark.functions.similarity import embedding_neardup_pairs
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = embedding_neardup_pairs(items, threshold=0.99, bits=4, tables=3, dim=4)
+    assert full.count() == 190
+    capped = embedding_neardup_pairs(
+        items, threshold=0.99, bits=4, tables=3, dim=4, max_bucket=10
+    )
+    assert capped.count() == 0
+
+
+def test_dup_clusters(spark):
+    """Pair closure: {1-2, 2-3} and {5-6} cluster, canonical = min id,
+    singletons keep themselves when docs is given."""
+    from pgd_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in dup_clusters(pairs, docs=docs).collect()
+    }
+    assert got == {
+        1: (1, 1),
+        2: (1, 0),
+        3: (1, 0),
+        4: (4, 1),
+        5: (5, 1),
+        6: (5, 0),
+        7: (7, 1),
+    }
+    # without docs: only clustered ids appear
+    only = dup_clusters(pairs).collect()
+    assert {r["doc_id"] for r in only} == {1, 2, 3, 5, 6}
