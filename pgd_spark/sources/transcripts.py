@@ -114,11 +114,12 @@ def edges_from_transcripts(
 ) -> tuple[Graph, DataFrame]:
     """Axes A+B edge derivation → (normalized Graph, vertex map).
 
-    Pure DataFrame ops: one window (lead over (conv_id, turn_idx)) for
-    axis A, a filter for axis B, two small broadcast joins against the
-    vertex map, then the standard normalization.  The source table is
-    only read — the per-turn text invariant (stable (conv_id, turn_idx)
-    ordering) is untouched by construction.
+    Pure DataFrame ops: two map-side broadcast joins translate
+    role/tool strings to int64 vids, then one window (lead over
+    (conv_id, turn_idx)) derives axis A and a filter derives axis B,
+    then the standard normalization.  The source table is only read —
+    the per-turn text invariant (stable (conv_id, turn_idx) ordering)
+    is untouched by construction.
     """
     # Cache ownership: a vmap WE build is persisted here (it is
     # broadcast twice below and would otherwise re-scan the source per
@@ -131,24 +132,38 @@ def edges_from_transcripts(
     else:
         vm = vertex_map(transcripts).persist()
         vm.count()
+    # Map role/tool strings to their int64 vids BEFORE the window: the
+    # broadcast joins are map-side (no shuffle), so the window's sort
+    # shuffle — the only large data movement in this job, every row of
+    # the table — carries (conv_id, turn_idx, rvid, tvid) instead of
+    # (conv_id, turn_idx, role-string, tool-string).  At 10^12 turns
+    # that is the difference between shuffling terabytes of repeated
+    # strings and shuffling ints; on one box it cuts the sort's memory
+    # traffic, which is what saturates first at high thread counts
+    # (lead() over a vid yields the same edge as lead() over the name —
+    # the vid map is 1:1 by construction).
+    vr = vm.filter(F.col("kind") == "r").select(
+        F.col("name").alias("role"), F.col("vid").alias("rvid")
+    )
+    vt = vm.filter(F.col("kind") == "t").select(
+        F.col("name").alias("tool"), F.col("vid").alias("tvid")
+    )
+    # LEFT joins: a null/unmapped role must still occupy its adjacency
+    # slot through the window (its pairs then drop on the null vid,
+    # exactly as the old post-window string join dropped them)
+    mapped = (
+        transcripts.select("conv_id", "turn_idx", "role", "tool")
+        .join(F.broadcast(vr), "role", "left")
+        .join(F.broadcast(vt), "tool", "left")
+        .select("conv_id", "turn_idx", "rvid", "tvid")
+    )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    t = transcripts.select(
-        "conv_id", "turn_idx", "role", "tool", F.lead("role").over(w).alias("next_role")
+    t = mapped.select("rvid", "tvid", F.lead("rvid").over(w).alias("next_rvid"))
+    a = t.filter(F.col("rvid").isNotNull() & F.col("next_rvid").isNotNull()).select(
+        F.col("rvid").alias("src"), F.col("next_rvid").alias("dst")
     )
-    a = t.filter(F.col("next_role").isNotNull()).select(
-        F.lit("r").alias("k1"), F.col("role").alias("n1"),
-        F.lit("r").alias("k2"), F.col("next_role").alias("n2"),
+    b = t.filter(F.col("rvid").isNotNull() & F.col("tvid").isNotNull()).select(
+        F.col("rvid").alias("src"), F.col("tvid").alias("dst")
     )
-    b = t.filter(F.col("tool").isNotNull()).select(
-        F.lit("r").alias("k1"), F.col("role").alias("n1"),
-        F.lit("t").alias("k2"), F.col("tool").alias("n2"),
-    )
-    pairs = a.unionAll(b)
-    vm1 = vm.select(F.col("kind").alias("k1"), F.col("name").alias("n1"), F.col("vid").alias("src"))
-    vm2 = vm.select(F.col("kind").alias("k2"), F.col("name").alias("n2"), F.col("vid").alias("dst"))
-    edges = (
-        pairs.join(F.broadcast(vm1), ["k1", "n1"])
-        .join(F.broadcast(vm2), ["k2", "n2"])
-        .select("src", "dst")
-    )
+    edges = a.unionAll(b)
     return Graph.from_edges(edges), vm
