@@ -546,7 +546,11 @@ def main():
             json.dumps(
                 {
                     "ts": ts,
-                    "pair": f"local[{n}]->local[{4*n}]",
+                    "pair": (
+                        f"{n//2}x2-core->{2*n}x2-core executors (standalone)"
+                        if os.environ.get("PGD_SCALING_MASTER")
+                        else f"local[{n}]->local[{4*n}]"
+                    ),
                     "protocol": "interleaved-median-of-%d" % lo["jvm_reps"],
                     "jobs": list(jobs),
                     "efficiency": {k: round(v, 3) for k, v in effs.items()},
