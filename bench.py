@@ -29,8 +29,8 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from pgd_spark.functions.dedup import minhash_dedup
-    from pgd_spark.functions.similarity import cosine_topk
+    from pgd_spark.functions.dedup import dup_clusters, minhash_dedup
+    from pgd_spark.functions.similarity import cosine_topk, embedding_neardup_pairs
     from pgd_spark.operators.graphlets import edge_graphlet_counts, macro_counts
     from pgd_spark.operators.pregel import IterationLog, connected_components, pagerank
     from pgd_spark.session import get_spark
@@ -45,11 +45,18 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     def _tree_cpu_secs(root_pid: int) -> float:
-        """Σ utime+stime (seconds) of root_pid and every live descendant
-        — the JVM plus its reused python workers.  Per-rep deltas
-        separate 'the engine did more work' (CPU moved) from 'the VM
-        gave fewer cycles' (CPU flat while wall grew): the drift
-        diagnostic VERDICT r3 asked for on the census spread."""
+        """Σ utime+stime+cutime+cstime (seconds) of root_pid and every
+        live descendant — the JVM plus its reused python workers.
+        Per-rep deltas separate 'the engine did more work' (CPU moved)
+        from 'the VM gave fewer cycles' (CPU flat while wall grew): the
+        drift diagnostic VERDICT r3 asked for on the census spread.
+
+        cutime/cstime carry the CPU of REAPED children (recursively:
+        wait() folds a child's own cutime into its parent's), so a
+        python worker that exits between samples keeps its accumulated
+        CPU in the totals instead of vanishing — the r5 artifact's
+        negative per-rep CPU (VERDICT r5 task 3).  No double counting:
+        a process is in the live scan XOR in an ancestor's cutime."""
         import glob as _glob
 
         tick = os.sysconf("SC_CLK_TCK")
@@ -60,7 +67,11 @@ def main() -> None:
                     head, tail = f.read().rsplit(")", 1)
                 pid = int(head.split()[0])
                 fields = tail.split()
-                procs[pid] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+                procs[pid] = (
+                    int(fields[1]),
+                    int(fields[11]) + int(fields[12])
+                    + int(fields[13]) + int(fields[14]),
+                )
             except (OSError, ValueError, IndexError):
                 continue
         kids: dict[int, list[int]] = {}
@@ -131,12 +142,17 @@ def main() -> None:
             last = fn()
             times.append(time.time() - t0)
             if track_cpu:
-                cpus.append(round(_tree_cpu_secs(jvm_pid) - c0, 1))
+                d = round(_tree_cpu_secs(jvm_pid) - c0, 1)
+                # the reaped-children fix above should keep deltas >= 0;
+                # a residual negative (pid-reuse race) is not a
+                # measurement — record the rep untracked, never nonsense
+                cpus.append(d if d >= 0 else None)
         if track_cpu:
             extras[f"{name}_wall_per_rep"] = [round(t, 1) for t in times]
             extras[f"{name}_cpu_per_rep"] = cpus
-            if min(cpus) > 0:
-                extras["cpu_flat"][name] = max(cpus) / min(cpus) <= 1.10
+            tracked = [c for c in cpus if c is not None]
+            if len(tracked) == len(cpus) and min(tracked) > 0:
+                extras["cpu_flat"][name] = max(tracked) / min(tracked) <= 1.10
         times.sort()
         # lower median: true median at odd reps, best-of-2 at reps=2
         timings[name] = round(times[(len(times) - 1) // 2], 3)
@@ -197,6 +213,12 @@ def main() -> None:
         release_internal_caches(cd)  # the strategy's persisted two-hop base
         return td
 
+    # warm rep (unmeasured): official r5 showed rep0 doing ~3x rep1's CPU
+    # (cold persisted base + 2M-edge-shape codegen the small warmup above
+    # doesn't cover), so neither median nor at-min was protocol-clean —
+    # VERDICT r5 task 4.  One full unmeasured pass makes every timed rep
+    # steady-state; release its caches exactly like a timed rep does.
+    run_census_distributed()
     td = timed_reps("census_distributed", run_census_distributed, reps=2)
     tb = macro_counts(gd, strategy="broadcast")
     assert td["total_3_tris"] == tb["total_3_tris"]
@@ -270,6 +292,21 @@ def main() -> None:
 
     extras["minhash_pairs"] = timed_reps("minhash_dedup", run_minhash, reps=2)
 
+    # 8b. pair closure → duplicate clusters + canonical keep-set, chained
+    # after minhash exactly like a production dedup pass (VERDICT r5 task
+    # 7: the operator was oracle-green but had no wall-clock row).  The
+    # pair list is one unmeasured pass (its cost is row 8); the timed
+    # work is the Pregel CC closure + keep-set over the full corpus.
+    docs_dc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs_dc = minhash_dedup(docs_dc, n=3, threshold=0.7).persist()
+    extras["dup_cluster_pairs"] = pairs_dc.count()
+
+    def run_dup_clusters():
+        return dup_clusters(pairs_dc, docs=docs_dc).filter(F.col("keep") == 0).count()
+
+    extras["dup_cluster_dropped"] = timed_reps("dup_clusters", run_dup_clusters, reps=2)
+    pairs_dc.unpersist()
+
     # 9. embedding brute-force cosine top-k
     def run_cosine():
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -278,7 +315,44 @@ def main() -> None:
 
     timed_reps("cosine_topk", run_cosine, reps=3)
 
+    # 10. embedding near-dup pairs (sign-LSH self-join + exact re-score)
+    # — same parameters as the driver's emb_neardup oracle query
+    # (VERDICT r5 task 7: bench coverage for the new operator)
+    def run_neardup():
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_neardup_pairs(
+            embs, threshold=0.45, bits=4, tables=8, dim=64, max_bucket=400
+        ).count()
+
+    extras["emb_neardup_pairs"] = timed_reps("emb_neardup", run_neardup, reps=2)
+
     total = round(sum(timings.values()), 3)
+    # The driver captures only a ~2000-char stdout tail; the r5 official
+    # artifact came back parsed:null because the per-rep arrays outgrew
+    # it (VERDICT r5 task 2).  So: the FULL extras (per-rep walls/CPUs,
+    # spreads, at_min, cpu_flat, protocol) go to a BENCH/ file, and the
+    # one stdout JSON line stays compact — medians + the headline
+    # throughputs only.
+    extras_path = os.environ.get(
+        "PGD_BENCH_EXTRAS", "/root/repo/BENCH/bench_extras_latest.json"
+    )
+    headline = {
+        "graphlet_edges_per_sec": extras.get("graphlet_edges_per_sec"),
+        "graphlet_edges_per_sec_at_min": extras.get("graphlet_edges_per_sec_at_min"),
+        "pagerank_iters_per_sec": extras.get("pagerank_iters_per_sec"),
+        "cpu_flat": extras.get("cpu_flat"),
+    }
+    try:
+        os.makedirs(os.path.dirname(extras_path), exist_ok=True)
+        with open(extras_path, "w") as f:
+            json.dump(
+                {"value": total, "queries": timings, "sf": sf, "cpus": cpus,
+                 "extras": extras},
+                f, indent=2,
+            )
+        headline["extras_file"] = extras_path
+    except OSError:
+        pass  # read-only checkout: the compact line below still carries the medians
     print(
         json.dumps(
             {
@@ -288,8 +362,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
-                "extras": extras,
-            }
+                "headline": headline,
+            },
+            separators=(",", ":"),
         )
     )
 

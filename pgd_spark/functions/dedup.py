@@ -412,9 +412,26 @@ def dup_clusters(
     ``docs`` (optional): the full corpus frame; when given, every doc
     id appears in the output (singletons included) — omit it to get
     only the docs that are in some duplicate cluster.
+
+    Doc ids must be integral (int64 vertex ids — the link-graph
+    contract).  Non-integral ids would silently cast to null, drop
+    every edge, and report keep=1 for all docs (ADVICE r5), so the id
+    columns are schema-checked up front; map string ids through a
+    vertex map (sources.transcripts.vertex_map pattern) first.
     """
     from ..graph import Graph
     from ..operators.pregel import connected_components
+
+    integral = ("tinyint", "smallint", "int", "bigint")
+    for frame, col, what in ((pairs, a_col, "pairs"), (pairs, b_col, "pairs")) + (
+        ((docs, id_col, "docs"),) if docs is not None else ()
+    ):
+        dt = dict(frame.dtypes).get(col)
+        if dt not in integral:
+            raise TypeError(
+                f"dup_clusters requires integral (int64) doc ids; {what}.{col} "
+                f"is {dt!r} — map ids to int64 first (e.g. a vertex map)"
+            )
 
     g = Graph.from_edges(pairs, src=a_col, dst=b_col)
     cc = connected_components(g, checkpoint_dir=checkpoint_dir)

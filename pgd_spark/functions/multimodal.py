@@ -64,6 +64,102 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int, float, str]:
     return width, height, channels, mean_luma, fmt
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _stdlib_png_decode(payload: bytes) -> tuple[int, int, int, float, str]:
+    """Real PNG decode with NOTHING but stdlib zlib+struct — the
+    PIL-absent branch of ``use_real_codecs`` (VERDICT r5 task 6:
+    pillow is uninstallable in this sandbox, but PNG needs no wheel).
+
+    Covers the common non-interlaced 8-bit color types (gray, RGB,
+    gray+alpha, RGBA): IHDR parse, IDAT concat + inflate, per-scanline
+    filter reversal (None/Sub/Up/Average/Paeth per the PNG spec §9),
+    then PIL-compatible metadata — mean_luma matches _pil_decode's
+    L-conversion (ITU-R 601-2, alpha ignored) so the two real paths
+    report the same numbers on the same image.  Non-PNG payloads and
+    exotic PNGs (palette, 16-bit, interlaced) still raise the
+    NotImplementedError naming the pillow wheel."""
+    import struct
+    import zlib
+
+    def _unsupported(why: str) -> NotImplementedError:
+        return NotImplementedError(
+            f"use_real_codecs=True but PIL (pillow) is not importable on "
+            f"this worker and the stdlib PNG fallback cannot decode this "
+            f"payload ({why}); deploy the pillow wheel alongside the job"
+        )
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise _unsupported("not a PNG")
+    width = height = None
+    idat = []
+    pos = len(_PNG_MAGIC)
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise _unsupported(f"bit depth {depth}")
+            if interlace != 0:
+                raise _unsupported("interlaced (Adam7)")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise _unsupported(f"color type {color}")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise _unsupported("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise _unsupported("truncated IDAT stream")
+    img = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    off = 0
+    for y in range(height):
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.intp
+        )
+        off += stride + 1
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            cur = np.zeros(stride, dtype=np.intp)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - channels] if x >= channels else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise _unsupported(f"filter type {ftype}")
+        img[y] = cur
+        prev = cur
+    px = img.reshape(height, width, channels).astype(np.float64)
+    if channels >= 3:
+        # PIL convert("L"): ITU-R 601-2, integer-truncated per pixel
+        luma = (px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114) // 1000
+    else:
+        luma = px[..., 0]
+    return width, height, channels, float(luma.mean() / 255.0), "png"
+
+
 def decode_image_meta(
     df: DataFrame, id_col: str = "doc_id", use_real_codecs: bool = False
 ) -> DataFrame:
@@ -71,7 +167,9 @@ def decode_image_meta(
 
     ``use_real_codecs=True`` decodes with PIL inside the Arrow batches
     (one import per worker, zero per-row Python beyond the decode
-    itself); if PIL isn't installed on the workers the task raises a
+    itself); where PIL isn't installed on the workers, PNG payloads
+    still decode for real via the stdlib zlib fallback
+    (``_stdlib_png_decode``) and anything else raises a
     NotImplementedError naming the wheel to deploy."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,11 +179,8 @@ def decode_image_meta(
                 import PIL  # noqa: F401
 
                 decode = _pil_decode
-            except ImportError as e:
-                raise NotImplementedError(
-                    "use_real_codecs=True but PIL (pillow) is not importable on "
-                    "this worker; deploy the codec wheel alongside the job"
-                ) from e
+            except ImportError:
+                decode = _stdlib_png_decode
         for pdf in batches:
             metas = [decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(metas, columns=["width", "height", "channels", "mean_luma", "format"])

@@ -29,6 +29,20 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _infer_dim(items: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row — a driver-side
+    first() callers should avoid in pipelines by passing ``dim``
+    explicitly.  Empty input can't be measured: raise a clear error
+    instead of the bare TypeError first()'s None produced (ADVICE r5)."""
+    row = items.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim from an empty {vec_col!r} input; "
+            "pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -115,7 +129,7 @@ def lsh_cosine_topk(
     Pass ``dim`` (embedding dimensionality) explicitly in pipelines —
     the None fallback runs a driver-side first() just to measure it."""
     if dim is None:
-        dim = len(items.select(vec_col).first()[0])
+        dim = _infer_dim(items, vec_col)
     buckets_i = []
     buckets_q = []
     for t in range(tables):
@@ -314,8 +328,17 @@ def ivf_cosine_topk(
         nq, qdim = queries.agg(
             F.count(F.lit(1)), F.coalesce(F.max(F.size(vec_col)), F.lit(0))
         ).first()
+        from ..session import parse_size_bytes
+
+        # the conf may carry a size suffix ('64m', '100MB') when set
+        # outside get_spark — parse Spark's size grammar, never int()
         threshold = max(
-            int(queries.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864")),
+            parse_size_bytes(
+                queries.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold", "67108864"
+                ),
+                default=64 * 1024 * 1024,
+            ),
             0,
         )
         # per probe row: qvec doubles + id/norm/struct overhead
@@ -385,7 +408,7 @@ def embedding_neardup_pairs(
     from .dedup import _materialize_and_release
 
     if dim is None:
-        dim = len(items.select(vec_col).first()[0])
+        dim = _infer_dim(items, vec_col)
     bucket_structs = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, t, seed)

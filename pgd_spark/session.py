@@ -54,10 +54,24 @@ def _default_driver_mem() -> str:
     return f"{max(2, min(48, int(avail_gb * 0.6)))}g"
 
 
+def normalize_mem(mem: str) -> str:
+    """Normalize a user-supplied memory string so every consumer agrees
+    on its meaning.  Spark parses a suffix-less spark.driver.memory as
+    MiB while -Xms treats a bare number as BYTES (which for '4096'
+    fails JVM startup outright), so a bare number is ambiguous at the
+    env-var boundary (ADVICE r5) — append 'm' to match Spark's reading,
+    the interpretation the user who typed '4096' almost surely meant."""
+    s = mem.strip()
+    return s + "m" if s.replace(".", "", 1).isdigit() else s
+
+
 def _mem_to_mb(mem: str) -> int:
     """'14g' / '4gb' / '512m' → MiB.  Accepts the JVM -Xmx suffixes
     k/m/g/t plus the colloquial kb/mb/gb/tb spellings; a bare number is
-    BYTES, exactly as -Xmx treats it.  An unparseable string (e.g. a
+    MiB, matching Spark's own reading of spark.driver.memory (callers
+    inside this module always normalize_mem first, so the bare branch
+    only fires for strings from other config surfaces, where Spark's
+    MiB convention is the right one).  An unparseable string (e.g. a
     typo'd PGD_SPARK_DRIVER_MEM) warns and falls back to 4096 MiB —
     never a silent wrong broadcast threshold (ADVICE r4)."""
     import warnings
@@ -74,7 +88,7 @@ def _mem_to_mb(mem: str) -> int:
             return int(float(s[:-1]))
         if s.endswith("k"):
             return max(int(float(s[:-1]) / 1024), 1)
-        return max(int(float(s) / (1024 * 1024)), 1)
+        return max(int(float(s)), 1)
     except ValueError:
         warnings.warn(
             f"unparseable memory string {mem!r}; assuming 4096 MiB for the "
@@ -82,6 +96,28 @@ def _mem_to_mb(mem: str) -> int:
             stacklevel=2,
         )
         return 4096
+
+
+def parse_size_bytes(size: str | int, default: int) -> int:
+    """Spark size-string → bytes ('64m', '100MB', '1g', bare bytes).
+    Spark session confs like autoBroadcastJoinThreshold accept suffixed
+    strings, so callers reading them back must parse the same grammar
+    (ADVICE r5: int('64m') crashed ivf auto-sizing).  Unparseable →
+    ``default``."""
+    if isinstance(size, int):
+        return size
+    s = size.strip().lower()
+    if s.lstrip("-").isdigit():
+        return int(s)
+    if len(s) > 1 and s.endswith("b") and s[-2] in "kmgt":
+        s = s[:-1]
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}.get(s[-1:], None)
+    try:
+        if mult is not None:
+            return int(float(s[:-1]) * mult)
+        return int(float(s))
+    except ValueError:
+        return default
 
 
 def get_spark(
@@ -96,7 +132,7 @@ def get_spark(
         # local[N] → N-ish partitions; AQE coalesces small stages further.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus if n == "*" else max(int(n), 1)
-    driver_mem = os.environ.get("PGD_SPARK_DRIVER_MEM") or _default_driver_mem()
+    driver_mem = normalize_mem(os.environ.get("PGD_SPARK_DRIVER_MEM") or _default_driver_mem())
     # -Xms = -Xmx: G1's adaptive heap SHRINKS the committed heap after
     # GC cycles, and on this virtualized host re-faulting the returned
     # pages under concurrent tasks serializes on mmap_lock — measured
@@ -157,6 +193,7 @@ def get_spark(
             "PGD_SPARK_EXECUTOR_MEM"
         )
         if exec_mem:
+            exec_mem = normalize_mem(exec_mem)
             builder = builder.config("spark.executor.memory", exec_mem)
             eopts = f"-Xms{exec_mem}"
             if os.environ.get("PGD_SPARK_PRETOUCH") == "1":

@@ -248,15 +248,86 @@ def test_broadcast_threshold_scales_with_driver_mem():
 # ---------------------------------------------------- round-4 ADVICE fixes
 def test_mem_to_mb_gb_spellings_bytes_and_warning():
     """'4gb' must parse (not silently fall back to 4096); bare numbers
-    are BYTES per the -Xmx grammar the docstring cites; garbage warns."""
+    are MiB, matching Spark's reading of spark.driver.memory (ADVICE
+    r5: the old bytes reading disagreed with what Spark actually
+    allocated for the same string); garbage warns."""
     from pgd_spark.session import _mem_to_mb
 
     assert _mem_to_mb("4gb") == 4 * 1024
     assert _mem_to_mb("512mb") == 512
     assert _mem_to_mb("1t") == 1024 * 1024
-    assert _mem_to_mb(str(256 * 1024 * 1024)) == 256  # bare number = bytes
+    assert _mem_to_mb("4096") == 4096  # bare number = MiB, Spark's convention
     with pytest.warns(UserWarning, match="unparseable"):
         assert _mem_to_mb("lots") == 4096
+
+
+def test_normalize_mem_bare_numbers_get_mib_suffix():
+    """PGD_SPARK_DRIVER_MEM=4096 means 4096 MiB to Spark but 4096 BYTES
+    to -Xms (instant JVM-startup failure) — the env boundary appends
+    'm' so every consumer agrees (ADVICE r5)."""
+    from pgd_spark.session import normalize_mem
+
+    assert normalize_mem("4096") == "4096m"
+    assert normalize_mem(" 14g ") == "14g"
+    assert normalize_mem("512mb") == "512mb"
+
+
+def test_parse_size_bytes_spark_grammar():
+    """Session confs like autoBroadcastJoinThreshold come back as the
+    caller set them — possibly '64m'/'100MB' — and int() crashed the
+    ivf auto-sizing path (ADVICE r5)."""
+    from pgd_spark.session import parse_size_bytes
+
+    assert parse_size_bytes("67108864", 0) == 67108864
+    assert parse_size_bytes("64m", 0) == 64 * 1024 * 1024
+    assert parse_size_bytes("100MB", 0) == 100 * 1024 * 1024
+    assert parse_size_bytes("1g", 0) == 1024**3
+    assert parse_size_bytes(123, 0) == 123
+    assert parse_size_bytes("garbage", 42) == 42
+    # -1 (broadcast disabled) must survive, not fall back
+    assert parse_size_bytes("-1", 0) == -1
+
+
+def test_ivf_topk_handles_suffixed_broadcast_threshold(spark):
+    """ivf_cosine_topk's auto-sizing must not crash when the session's
+    broadcast threshold carries a size suffix (ADVICE r5)."""
+    from pgd_spark.functions.similarity import ivf_cosine_topk
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(4)]) for i in range(30)]
+    items = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(rows[:2], "query_id long, embedding array<float>")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    try:
+        got = ivf_cosine_topk(items, queries, k=3, n_centroids=4).collect()
+        assert len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dup_clusters_rejects_non_integral_ids(spark):
+    """String doc ids silently cast to null → every edge dropped →
+    keep=1 for all docs (a silent 'no duplicates' answer) — must raise
+    instead (ADVICE r5)."""
+    from pgd_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral"):
+        dup_clusters(pairs)
+    ok_pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    docs = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(TypeError, match="integral"):
+        dup_clusters(ok_pairs, docs=docs)
+
+
+def test_neardup_empty_input_raises_clear_error(spark):
+    """dim=None on an empty frame crashed with a bare TypeError from
+    first() — must raise a ValueError naming the fix (ADVICE r5)."""
+    from pgd_spark.functions.similarity import embedding_neardup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="pass dim="):
+        embedding_neardup_pairs(empty)
 
 
 def test_compact_edge_store_rejects_non_parquet_formats(spark, tmp_path, monkeypatch):

@@ -180,6 +180,94 @@ def test_real_codec_decode_when_available(spark):
     assert abs(r["mean_luma"] - 0.299) < 0.01
 
 
+def _paeth(a, b, c):
+    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+
+def _encode_png(px, color_type, filters):
+    """Minimal stdlib PNG ENCODER (test fixture only): 8-bit,
+    non-interlaced, one chosen filter type per scanline — lets the
+    tests exercise every filter-reversal branch of the decoder."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = [0] * (w * ch)
+    for y in range(h):
+        row = [int(v) for v in px[y].reshape(-1)]
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(w * ch):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: _paeth(a, b, c)}[f]
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_stdlib_png_decode_all_filters():
+    """The zlib+struct PNG fallback must reverse every PNG filter type
+    (None/Sub/Up/Average/Paeth) across all four 8-bit color types, with
+    mean_luma matching the PIL L-conversion formula exactly."""
+    import numpy as np
+
+    from pgd_spark.functions.multimodal import _stdlib_png_decode
+
+    rng = np.random.RandomState(0)
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = rng.randint(0, 256, (21, 37, ch), dtype=np.uint8)
+        w, h, chans, luma, fmt = _stdlib_png_decode(_encode_png(px, ct, [0, 1, 2, 3, 4]))
+        pxf = px.astype(np.float64)
+        exp = (
+            (pxf[..., 0] * 299 + pxf[..., 1] * 587 + pxf[..., 2] * 114) // 1000
+            if ch >= 3
+            else pxf[..., 0]
+        ).mean() / 255.0
+        assert (w, h, chans, fmt) == (37, 21, ch, "png")
+        assert abs(luma - exp) < 1e-12
+    # exotic PNGs and non-PNGs fail loudly, naming the wheel
+    with pytest.raises(NotImplementedError, match="pillow"):
+        _stdlib_png_decode(b"notapng")
+
+
+def test_real_png_decode(spark):
+    """use_real_codecs=True on a REAL PNG payload must decode its true
+    dimensions/format through the mapInPandas plumbing even where
+    pillow is absent (this sandbox): the stdlib zlib fallback runs the
+    actual bit stream — no codec wheel, no fake decode, no skip."""
+    import numpy as np
+
+    from pgd_spark.functions.multimodal import decode_image_meta
+
+    red = np.zeros((21, 37, 3), dtype=np.uint8)
+    red[..., 0] = 255
+    media = spark.createDataFrame(
+        [(1, bytearray(_encode_png(red, 2, [0])))], "doc_id long, payload binary"
+    )
+    meta = decode_image_meta(media, use_real_codecs=True).collect()
+    assert len(meta) == 1
+    r = meta[0]
+    assert (r["width"], r["height"], r["channels"], r["format"]) == (37, 21, 3, "png")
+    # pure red: PIL-formula luma = floor(0.299*255)/255 = 76/255
+    assert abs(r["mean_luma"] - 76 / 255) < 1e-9
+
+
 def test_salted_join_equivalence(spark):
     from pgd_spark.graph import Graph
     from pgd_spark.plans.skew import salted_join, top_degree_vertices

@@ -21,11 +21,25 @@ construction) and read from parquet by every JVM — the measured job is
 the production shape per input_hint: read table -> derive.
 
 Usage: python tools/scaling_bench.py [N] [--quick] [--jobs census,pagerank,derive]
+       [--bracket-retries K]
 
 A partial --jobs run re-measures only those jobs; BENCH/BASELINE.md is
 regenerated from BENCH/scaling_latest.json, which keeps each job's
 latest backing run (timestamped per row), and every run still appends
 to BENCH/scaling_runs.jsonl — no history is discarded.
+
+Flat-ceiling-bracket acceptance (VERDICT r5 task 1): this VM's cycle
+delivery is bursty, so a draw is only evidence if the host was steady
+while it ran.  With --bracket-retries K (or PGD_SCALING_BRACKET_RETRIES),
+the protocol samples the Spark-free pure-CPU ceiling immediately before
+AND after each interleaved median-of-N draw and accepts the draw as the
+row of record only when the bracket is FLAT: both samples ≤ 1.0 (a
+ceiling > 1.0 is physically impossible on a fair host — delivery moved
+mid-sample) and within 10% of each other.  Non-flat draws still append
+to scaling_runs.jsonl (flagged, nothing discarded) and the protocol
+retries in a fresh window, up to K times; if no window is flat, the
+last draw lands in the table explicitly flagged unusable.  A pre-sample
+> 1.0 skips the expensive draw entirely and just waits for a new window.
 """
 
 from __future__ import annotations
@@ -350,10 +364,16 @@ def _write_md(latest: dict) -> None:
                 s = r["spread"]
                 return "%.1f s [%.1f–%.1f]" % (r["sec"], s[0], s[1])
 
+            # a row whose backing window failed the flat-ceiling-bracket
+            # acceptance is marked UNUSABLE inline (VERDICT r5 task 5:
+            # the table must agree with the narrative, not contradict it)
+            eff_cell = "%.3f" % e["eff"]
+            if e.get("flag"):
+                eff_cell += " **(%s)**" % e["flag"]
             rows.append(
-                "| %s | %s | %s (%s, %s) | %s | %s | %s | %s | %.3f |\n"
+                "| %s | %s | %s (%s, %s) | %s | %s | %s | %s | %s |\n"
                 % (e["label"], e["input"], e["pair"], e["ts"], e["protocol"],
-                   cell(lo), cell(hi), e["thr_lo"], e["thr_hi"], e["eff"])
+                   cell(lo), cell(hi), e["thr_lo"], e["thr_hi"], eff_cell)
             )
         f.writelines(rows)
         ceils = {
@@ -452,8 +472,8 @@ full width and reports medians of fresh-JVM runs.
                 "per session)\n\nThe table above cites the backing run per "
                 "job; the host VM's throughput drifts between runs, which "
                 "this history quantifies.\n\n"
-                "| when | pair | protocol | census eff | pagerank eff | derive eff |\n"
-                "|---|---|---|---|---|---|\n"
+                "| when | pair | protocol | census eff | pagerank eff | derive eff | ceiling bracket (pre/post) |\n"
+                "|---|---|---|---|---|---|---|\n"
             )
             with open(hist_path) as hf:
                 for line in hf:
@@ -462,25 +482,58 @@ full width and reports medians of fresh-JVM runs.
                     except json.JSONDecodeError:
                         continue
                     e = h["efficiency"]
+                    c = h.get("host_cpu_ceiling") or {}
+                    flat = h.get("bracket_flat")
+                    bracket = f"{c.get('pre')} / {c.get('post')}"
+                    if flat is True:
+                        bracket += " — flat"
+                    elif flat is False:
+                        bracket += " — NOT flat (window unusable)"
                     f.write(
                         f"| {h['ts']} | {h['pair']} | {h['protocol']} | "
                         f"{e.get('census')} | {e.get('pagerank')} | "
-                        f"{e.get('transcript_derive')} |\n"
+                        f"{e.get('transcript_derive')} | {bracket} |\n"
                     )
 
 
+def _bracket_flat(pre: float | None, post: float | None) -> bool | None:
+    """Acceptance rule for a draw's host window: both ceiling samples
+    physically sane (≤ 1.0 — 4N workers cannot beat N by more than 4x
+    on a fair host; > 1.0 means delivery moved mid-sample) and within
+    10% of each other.  None (quick mode, no samples) → unknown."""
+    if pre is None or post is None:
+        return None
+    if pre > 1.0 or post > 1.0 or min(pre, post) <= 0:
+        return False
+    return max(pre, post) / min(pre, post) <= 1.10
+
+
 def main():
+    import time as _t
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 4
     quick = "--quick" in sys.argv
     jobs: tuple[str, ...] = ALL_JOBS
+    retries = int(os.environ.get("PGD_SCALING_BRACKET_RETRIES", "0"))
     for i, a in enumerate(sys.argv):
         if a == "--jobs":
             jobs = tuple(j for j in sys.argv[i + 1].split(",") if j in ALL_JOBS)
         elif a.startswith("--jobs="):
             jobs = tuple(j for j in a.split("=", 1)[1].split(",") if j in ALL_JOBS)
+        elif a == "--bracket-retries":
+            retries = int(sys.argv[i + 1])
+        elif a.startswith("--bracket-retries="):
+            retries = int(a.split("=", 1)[1])
     if not jobs:
         raise SystemExit("--jobs selected no known job (census,pagerank,derive)")
     jvm_reps = 1 if quick else int(os.environ.get("PGD_SCALING_REPS", "3"))
+    cluster = os.environ.get("PGD_SCALING_MASTER")
+    pair = (
+        f"{n//2}x2-core -> {2*n}x2-core executors (standalone)"
+        if cluster
+        else f"local[{n}]->local[{4*n}]"
+    )
+    ts_fmt = "%Y-%m-%d %H:%M UTC"
 
     tdir = None
     tbase = None
@@ -491,8 +544,13 @@ def main():
         else:
             tdir = _pregenerate_transcripts(quick)
             tbase = os.path.dirname(tdir)
-    ceil_pre = None if quick else host_cpu_ceiling(n)
-    try:
+
+    def one_draw():
+        """One interleaved median-of-N draw bracketed by ceiling samples."""
+        ceil_pre = None if quick else host_cpu_ceiling(n)
+        if retries and ceil_pre is not None and ceil_pre > 1.0:
+            # window already bursty: don't burn ~15 min of protocol on it
+            return None, None, ceil_pre, None
         # INTERLEAVE the sizes (lo,hi,lo,hi,...): the host's throughput
         # drifts over tens of minutes, and running all lo then all hi
         # would fold that drift straight into the efficiency ratio
@@ -500,32 +558,95 @@ def main():
         for _ in range(jvm_reps):
             lo_runs.append(run(n, quick, jobs, tdir))
             hi_runs.append(run(4 * n, quick, jobs, tdir))
+        ceil_post = None if quick else host_cpu_ceiling(n)
+        return _summarize(lo_runs, jobs), _summarize(hi_runs, jobs), ceil_pre, ceil_post
+
+    def append_history(effs, ceil_pre, ceil_post, flat, ts):
+        os.makedirs("/root/repo/BENCH", exist_ok=True)
+        with open("/root/repo/BENCH/scaling_runs.jsonl", "a") as hist:
+            hist.write(
+                json.dumps(
+                    {
+                        "ts": ts,
+                        "pair": pair,
+                        "protocol": "interleaved-median-of-%d" % jvm_reps,
+                        "jobs": list(jobs),
+                        "efficiency": {k: round(v, 3) for k, v in effs.items()},
+                        "host_cpu_ceiling": {"pre": ceil_pre, "post": ceil_post},
+                        "bracket_flat": flat,
+                        "cluster": cluster or None,
+                        "lo_sec": {_SEC_KEY[j]: round(lo[_SEC_KEY[j]], 1) for j in jobs},
+                        "hi_sec": {_SEC_KEY[j]: round(hi[_SEC_KEY[j]], 1) for j in jobs},
+                    }
+                )
+                + "\n"
+            )
+
+    attempt = 0
+    lo = hi = effs = None
+    ceil_pre = ceil_post = flat = None
+    ts = None
+    try:
+        while True:
+            attempt += 1
+            lo, hi, ceil_pre, ceil_post = one_draw()
+            ts = _t.strftime(ts_fmt, _t.gmtime())
+            if lo is None:
+                print(
+                    f"attempt {attempt}: pre-ceiling {ceil_pre} > 1.0 — window "
+                    "unusable, draw skipped (no protocol run to record)"
+                )
+                if attempt > retries:
+                    raise SystemExit(
+                        "no usable host window found within the retry budget; "
+                        "nothing measured — rerun when the VM calms down"
+                    )
+                _t.sleep(int(os.environ.get("PGD_SCALING_COOLDOWN", "120")))
+                continue
+
+            def eff(key):
+                return (lo[key] / hi[key]) / 4
+
+            effs = {}
+            if "census" in jobs:
+                effs["census"] = eff("census_sec")
+            if "pagerank" in jobs:
+                effs["pagerank"] = eff("pagerank_sec")
+            if "derive" in jobs:
+                effs["transcript_derive"] = eff("transcript_sec")
+            flat = _bracket_flat(ceil_pre, ceil_post)
+            report = {
+                "N": n,
+                "attempt": attempt,
+                "jobs": list(jobs),
+                "lo": lo,
+                "hi": hi,
+                "efficiency": effs,
+                "host_cpu_ceiling": {"pre": ceil_pre, "post": ceil_post},
+                "bracket_flat": flat,
+            }
+            print(json.dumps(report, indent=2))
+            if not quick:
+                # every executed draw lands in the history, flat or not —
+                # "no runs discarded"; only FLAT draws become the row of
+                # record below
+                append_history(effs, ceil_pre, ceil_post, flat, ts)
+            if not retries or flat is not False:
+                break
+            if attempt > retries:
+                print(
+                    "bracket never flat within the retry budget — recording "
+                    "the last draw EXPLICITLY FLAGGED as unusable-window"
+                )
+                break
+            print(
+                f"attempt {attempt}: ceiling bracket {ceil_pre}/{ceil_post} not "
+                "flat — retrying in a fresh window"
+            )
+            _t.sleep(int(os.environ.get("PGD_SCALING_COOLDOWN", "120")))
     finally:
         if tbase:
             shutil.rmtree(tbase, ignore_errors=True)
-    ceil_post = None if quick else host_cpu_ceiling(n)
-    lo = _summarize(lo_runs, jobs)
-    hi = _summarize(hi_runs, jobs)
-
-    def eff(key):
-        return (lo[key] / hi[key]) / 4
-
-    effs = {}
-    if "census" in jobs:
-        effs["census"] = eff("census_sec")
-    if "pagerank" in jobs:
-        effs["pagerank"] = eff("pagerank_sec")
-    if "derive" in jobs:
-        effs["transcript_derive"] = eff("transcript_sec")
-    report = {
-        "N": n,
-        "jobs": list(jobs),
-        "lo": lo,
-        "hi": hi,
-        "efficiency": effs,
-        "host_cpu_ceiling": {"pre": ceil_pre, "post": ceil_post},
-    }
-    print(json.dumps(report, indent=2))
 
     if quick:
         # harness smoke only: quick-mode numbers are not protocol
@@ -534,40 +655,15 @@ def main():
         print("quick mode: artifacts not written")
         return
 
-    os.makedirs("/root/repo/BENCH", exist_ok=True)
-    # run history is a first-class artifact: every protocol run appends
-    # here, so the MD can state which run backs the claim and how much
-    # the host drifts between runs of IDENTICAL code
-    import time as _t
-
-    ts = _t.strftime("%Y-%m-%d %H:%M UTC", _t.gmtime())
-    with open("/root/repo/BENCH/scaling_runs.jsonl", "a") as hist:
-        hist.write(
-            json.dumps(
-                {
-                    "ts": ts,
-                    "pair": (
-                        f"{n//2}x2-core->{2*n}x2-core executors (standalone)"
-                        if os.environ.get("PGD_SCALING_MASTER")
-                        else f"local[{n}]->local[{4*n}]"
-                    ),
-                    "protocol": "interleaved-median-of-%d" % lo["jvm_reps"],
-                    "jobs": list(jobs),
-                    "efficiency": {k: round(v, 3) for k, v in effs.items()},
-                    "host_cpu_ceiling": {"pre": ceil_pre, "post": ceil_post},
-                    "cluster": os.environ.get("PGD_SCALING_MASTER") or None,
-                    "lo_sec": {_SEC_KEY[j]: round(lo[_SEC_KEY[j]], 1) for j in jobs},
-                    "hi_sec": {_SEC_KEY[j]: round(hi[_SEC_KEY[j]], 1) for j in jobs},
-                }
-            )
-            + "\n"
-        )
-
+    flag = (
+        None
+        if flat is not False
+        else f"unusable window — ceiling bracket {ceil_pre}/{ceil_post}"
+    )
     latest = {}
     if os.path.exists(LATEST):
         with open(LATEST) as f:
             latest = json.load(f)
-    pair = f"local[{n}]->local[{4*n}]"
     protocol = "interleaved-median-of-%d" % lo["jvm_reps"]
 
     def side(r, key):
@@ -609,8 +705,11 @@ def main():
     for j in jobs:
         if j in latest:
             latest[j]["host_cpu_ceiling"] = {"pre": ceil_pre, "post": ceil_post}
-            if os.environ.get("PGD_SCALING_MASTER"):
-                latest[j]["pair"] = f"1x2-core -> 4x2-core executors (standalone)"
+            latest[j]["bracket_flat"] = flat
+            if flag:
+                latest[j]["flag"] = flag
+            else:
+                latest[j].pop("flag", None)
     for j in latest.values():
         if isinstance(j.get("eff"), float):
             j["eff"] = round(j["eff"], 3)
