@@ -243,7 +243,7 @@ def _burn(q, stop_t):
     q.put(n)
 
 
-def host_cpu_ceiling(n: int, secs: int = 10) -> float:
+def host_cpu_ceiling(n: int, secs: int = 10, settle: int = 0) -> float:
     """The HOST's own N->4N pure-CPU scaling efficiency, measured with a
     Spark-free multiprocessing integer burn at n and 4n workers.
 
@@ -253,7 +253,21 @@ def host_cpu_ceiling(n: int, secs: int = 10) -> float:
     what ANY engine could have scored in that window — e.g. a measured
     ceiling of 0.89 means a raw job efficiency of 0.78 is ~0.88 of what
     the host physically delivered.  Raw numbers stay primary; the
-    ceiling contextualizes them with a mechanism, not an excuse."""
+    ceiling contextualizes them with a mechanism, not an excuse.
+
+    Bias controls (r6 — every post-draw sample across r5/r6 read an
+    impossible >1.2 while pre-draw samples read 0.87–0.94, i.e. the
+    OLD instrument was systematically unfair right after a draw):
+    * ``settle``: the seconds to idle first.  A draw's teardown
+      (4 executor JVMs munmap'ing ~24 GB of pretouched heap, worker
+      cleanup) competes with the n-worker leg that the old instrument
+      ran FIRST, deflating lo → inflating the ratio.  Post-draw
+      callers pass ~20 s so the sample measures the host, not the
+      teardown.
+    * order-reversed double sampling: (n, 4n) then (4n, n), geometric
+      mean of the two ratios — a monotone delivery drift inflates one
+      pair and deflates the other symmetrically, cancelling to first
+      order instead of landing fully in a single ratio."""
     import multiprocessing as mp
     import time as _t
 
@@ -267,9 +281,15 @@ def host_cpu_ceiling(n: int, secs: int = 10) -> float:
             p.join()
         return sum(q.get() for _ in ps)
 
-    lo = run_burn(n)
-    hi = run_burn(4 * n)
-    return round((hi / lo) / 4, 3) if lo else 0.0
+    if settle:
+        _t.sleep(settle)
+    lo1 = run_burn(n)
+    hi1 = run_burn(4 * n)
+    hi2 = run_burn(4 * n)
+    lo2 = run_burn(n)
+    r1 = (hi1 / lo1) / 4 if lo1 else 0.0
+    r2 = (hi2 / lo2) / 4 if lo2 else 0.0
+    return round((r1 * r2) ** 0.5, 3) if r1 and r2 else 0.0
 
 
 def _pregenerate_transcripts(quick: bool) -> str:
@@ -558,7 +578,10 @@ def main():
         for _ in range(jvm_reps):
             lo_runs.append(run(n, quick, jobs, tdir))
             hi_runs.append(run(4 * n, quick, jobs, tdir))
-        ceil_post = None if quick else host_cpu_ceiling(n)
+        # settle=20: let the just-exited executor JVMs finish tearing
+        # down (pretouched-heap munmap burns kernel CPU that unfairly
+        # deflates the first burn leg — the r5/r6 systematic >1.2 bias)
+        ceil_post = None if quick else host_cpu_ceiling(n, settle=20)
         return _summarize(lo_runs, jobs), _summarize(hi_runs, jobs), ceil_pre, ceil_post
 
     def append_history(effs, ceil_pre, ceil_post, flat, ts):
