@@ -77,11 +77,17 @@ from pgd_spark.operators.pregel import pagerank, pagerank_prepare, IterationLog
 # (lazy heap-fault storms; see session.py).
 cluster = os.environ.get("PGD_SCALING_MASTER")
 if cluster:
+    # PGD_SCALING_EXEC_CORES (default 2) sets cores per executor, so the
+    # same tooling can probe different process shapes: 1x2-core vs
+    # 4x2-core (the default pair) or 2x1-core vs 8x1-core (where BOTH
+    # legs pay inter-process shuffle, isolating the lo-leg's free
+    # in-process shuffle as a mechanism — see DRIFT_r06)
+    exec_cores = os.environ.get("PGD_SCALING_EXEC_CORES", "2")
     spark = get_spark(app_name=f"scaling_{cores}", master=cluster,
                       shuffle_partitions=cores,
                       extra_conf={
                           "spark.cores.max": str(cores),
-                          "spark.executor.cores": "2",
+                          "spark.executor.cores": exec_cores,
                           "spark.executor.memory":
                               os.environ.get("PGD_SPARK_EXECUTOR_MEM", "6g"),
                       })
@@ -241,6 +247,58 @@ def _burn(q, stop_t):
             x = (x * 1103515245 + 12345) % 2147483647
         n += 1
     q.put(n)
+
+
+def _bw_burn(q, stop_t):
+    """Streaming-copy burn: each pass copies a 64 MiB numpy block (far
+    past LLC), so throughput is DRAM-bandwidth-bound, not core-bound."""
+    import numpy as np
+    import time as _t
+
+    src = np.ones(8 * 1024 * 1024, dtype=np.float64)  # 64 MiB
+    dst = np.empty_like(src)
+    n = 0
+    while _t.time() < stop_t:
+        np.copyto(dst, src)
+        src[0] += 1.0  # defeat any copy elision
+        n += 1
+    q.put(n)
+
+
+def host_membw_ceiling(n: int, secs: int = 10, settle: int = 0) -> float:
+    """The HOST's N->4N scaling efficiency for MEMORY-BANDWIDTH-bound
+    work (streaming 64 MiB copies), measured like host_cpu_ceiling.
+
+    Motivation (r6): the derive job is a parquet scan + wide sort —
+    bandwidth-hungry, not integer-ALU-hungry — so the pure-CPU burn
+    ceiling (0.88–0.95 here) is the wrong upper bound for it on ONE
+    box, where 4x cores share the same DRAM channels.  On a real
+    cluster, 4x executors bring 4x memory channels, so this ceiling is
+    a single-box artifact, exactly like the census DRAM note in the
+    analysis section.  Same bias controls as host_cpu_ceiling: settle
+    + order-reversed double sampling with a geometric-mean ratio."""
+    import multiprocessing as mp
+    import time as _t
+
+    def run_burn(workers: int) -> int:
+        q = mp.Queue()
+        stop_t = _t.time() + secs
+        ps = [mp.Process(target=_bw_burn, args=(q, stop_t)) for _ in range(workers)]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        return sum(q.get() for _ in ps)
+
+    if settle:
+        _t.sleep(settle)
+    lo1 = run_burn(n)
+    hi1 = run_burn(4 * n)
+    hi2 = run_burn(4 * n)
+    lo2 = run_burn(n)
+    r1 = (hi1 / lo1) / 4 if lo1 else 0.0
+    r2 = (hi2 / lo2) / 4 if lo2 else 0.0
+    return round((r1 * r2) ** 0.5, 3) if r1 and r2 else 0.0
 
 
 def host_cpu_ceiling(n: int, secs: int = 10, settle: int = 0) -> float:
@@ -478,8 +536,37 @@ Measured with Spark event-log task metrics (Executor CPU vs wall):
   threads: PGD_SCALING_MASTER runs the pair as 1 vs 4 separate 2-core
   executor JVMs on a standalone cluster (tools/start_local_cluster.sh),
   which removes the shared-JVM term; that is the protocol of record
-  for this job once a stable host window delivers it (r5's windows
-  swung 3× between identical reps — recorded in DRIFT_r05.md).
+  for this job.
+
+  **r6 resolution (flat-ceiling-bracket certified numbers; full detail
+  in BENCH/DRIFT_r06.md).**  With the debiased instrument the gate was
+  finally made executable, and the certified answer is an HONEST
+  sub-gate result, precisely characterized:
+
+  | pair | certified eff | bracket |
+  |---|---|---|
+  | local[2] → local[8] (threads; the protocol the task statement names) | **0.715** (0.744 in a rejected window) | 0.996/0.967 flat |
+  | 1×2-core → 4×2-core executor procs | **0.556 — reproduced 0.556 in a 2nd independent certified window** | 0.952/0.981 and 0.999/0.921, both flat |
+  | 2×1-core → 8×1-core executor procs (diagnostic) | 0.358 | 0.958/0.935 flat |
+  | host pure-CPU burn ceiling (2→8 workers) | 0.92–1.0 | — |
+  | host memory-BANDWIDTH ceiling, streaming 64 MiB copies (2→8) | 0.80–0.88 | — |
+
+  Reading: efficiency falls MONOTONICALLY with the number of executor
+  processes at fixed total cores (0.715 threads → 0.556 four procs →
+  0.358 eight procs), in certified-flat windows, while both host
+  ceilings stay ≥0.80.  So the residual gap is not a serial term (r4
+  input-scaling falsified that), not host burstiness (brackets flat),
+  and not DRAM alone (bandwidth ceiling 0.80+): it is the
+  inter-process shuffle tax — serialize → loopback netty → deserialize
+  — whose CPU comes out of the SAME 8 cores that run the sort, and
+  which the 4N leg pays ~3-4× more of than the N leg when both sides
+  of the pair live on one box.  On a real N→4N cluster this term is
+  symmetric (N executors already shuffle over the network, and NICs /
+  DRAM channels scale with the nodes), which is why the same engine's
+  symmetric-shuffle reading (threads, 0.715) sits at ~84-89% of the
+  host's own bandwidth ceiling.  The engine's shuffle-parallel jobs
+  that are not sort-bandwidth-bound clear the gate outright on this
+  same box (census 0.857, PageRank 0.863).
 
 Single-box variance note: this VM shows high run-to-run variance at
 full 32-thread width (same job 19-66 s), so the protocol avoids the
@@ -548,8 +635,9 @@ def main():
         raise SystemExit("--jobs selected no known job (census,pagerank,derive)")
     jvm_reps = 1 if quick else int(os.environ.get("PGD_SCALING_REPS", "3"))
     cluster = os.environ.get("PGD_SCALING_MASTER")
+    ec = int(os.environ.get("PGD_SCALING_EXEC_CORES", "2"))
     pair = (
-        f"{n//2}x2-core -> {2*n}x2-core executors (standalone)"
+        f"{max(n//ec,1)}x{ec}-core -> {max(4*n//ec,1)}x{ec}-core executors (standalone)"
         if cluster
         else f"local[{n}]->local[{4*n}]"
     )
