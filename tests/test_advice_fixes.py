@@ -447,3 +447,20 @@ def test_dedup_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
     finally:
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
     assert sc.getCheckpointDir() is None
+
+
+def test_bracket_flat_acceptance_rule():
+    """The scaling protocol's window-acceptance rule (VERDICT r5 task 1):
+    flat = both ceiling samples <= 1.0 and within 10%; a >1.0 sample is
+    physically impossible on a fair host and must reject the window."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from scaling_bench import _bracket_flat
+
+    assert _bracket_flat(0.95, 0.98) is True
+    assert _bracket_flat(0.90, 1.005) is False  # post over 1.0
+    assert _bracket_flat(1.02, 0.95) is False   # pre over 1.0
+    assert _bracket_flat(0.80, 0.95) is False   # >10% apart
+    assert _bracket_flat(0.999, 0.921) is True  # 8.5% apart, both sane
+    assert _bracket_flat(None, 0.9) is None     # quick mode: unknown
