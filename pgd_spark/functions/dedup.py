@@ -228,84 +228,172 @@ def minhash_dedup(
     near-dups whose pair list is quadratic; the cap bounds the worst
     case while other bands still recall pairs (None = no cap).
 
-    One shingle pass end-to-end: the [id, shingle, rh] table is built
-    and cached ONCE and shared between signature generation and the
-    exact verify (it was computed twice per call before — half the
-    operator's cost on the bench corpus); the banded-signature table is
-    also cached because the bucket-size filter and both sides of the
-    candidate self-join read it (3 evaluations of the k-min aggregation
-    otherwise).  Executes eagerly and releases both caches before
-    returning (see _materialize_and_release)."""
+    Physical shape (r7, guide §2.3/§2.4 — same output value-for-value
+    as the r6 plan, which shuffled the shingle table twice and the
+    banded table three times):
+
+    * ONE wide aggregation per doc computes the 128 minhashes, the int
+      verify-set array, its size, AND the hash-injectivity stats
+      together — the shingle stream crosses exactly one shuffle and is
+      never cached.
+    * Band buckets are ARRAYS of the band's minhash values (grouping on
+      an array key ≡ the old injective comma-joined string, minus the
+      string building), and candidate pairs come from ONE groupBy
+      (collect ids per bucket, cap-filter, dedup the member arrays,
+      pair-explode) instead of bucket-size-filter join + self-join; the
+      pair dedup rides an explicit-width repartition so the verify
+      stage keeps full parallelism (AQE would coalesce the slim pair
+      rows onto a handful of tasks and serialize the array intersects).
+    * The exact verify intersects INT64 rolling-hash arrays instead of
+      string arrays whenever the per-doc stats prove the rolling hash
+      injective on this corpus (every shingle length-n, every code
+      point < HASH_BASE, HASH_BASE**n < HASH_MOD → a positional
+      encoding with no modular wrap), with an exact distinct-count
+      equality check as the secondary gate and the old string arrays as
+      the final fallback — |A∩B| is the r6 value on every path.  The
+      doc-set side broadcasts when its estimated HashedRelation fits
+      the session broadcast threshold (candidates then never shuffle),
+      else SHUFFLE_HASH.
+
+    Executes eagerly and releases its caches before returning (see
+    _materialize_and_release)."""
     rows = num_hashes // bands
     sh = _shingles(df, id_col, text_col, n).withColumn(
         "rh", char_hash(F.col("shingle"), length=n)
-    ).cache()
-    sig = _sig_from_shingles(sh, num_hashes, seed)
-    # bucket key = the band's joined minhash values as a string — an
-    # equality key needs no re-hash (and stays oracle-portable)
-    banded = sig.select(
+    )
+    fam = hash_family(num_hashes, seed)
+    mins = [
+        F.min((F.lit(a) * F.col("rh") + F.lit(b)) % HASH_MOD).alias(f"h{i}")
+        for i, (a, b) in enumerate(fam)
+    ]
+    # ONE pass over the shingle stream computes, per doc: the k
+    # minhashes, the int verify-set, its size, AND the injectivity-
+    # proof stats — the shingle table is never materialized or cached.
+    per_doc = (
+        sh.groupBy("id")
+        .agg(
+            *mins,
+            F.collect_list("rh").alias("shs"),
+            F.count(F.lit(1)).alias("sz"),
+            F.sum((F.length("shingle") != n).cast("long")).alias("_bad"),
+            F.max(
+                F.greatest(*[F.ascii(F.substring("shingle", i + 1, 1)) for i in range(n)])
+            ).alias("_mcp"),
+        )
+        .cache()
+    )
+    # materialize BEFORE the final job: three of its subtrees (the
+    # banded candidate side and both verify broadcast builds) read
+    # per_doc concurrently, and racing an unpopulated cache recomputes
+    # the whole 128-min aggregation once per subtree.  The count is
+    # also the doc count the broadcast sizing below needs.
+    n_docs = per_doc.count()
+    # int-verify proof: when every shingle has length n, every code
+    # point is < HASH_BASE, and HASH_BASE**n < HASH_MOD, the rolling
+    # hash is a base-HASH_BASE positional encoding with no modular wrap
+    # — injective outright, so |A∩B| over the int arrays equals |A∩B|
+    # over the strings.  Otherwise fall back to the corpus-wide
+    # distinct-count equality check (exact; one extra shingle pass),
+    # and failing that re-aggregate STRING verify sets (the r6 plan).
+    n_rows, bad_len, max_cp = per_doc.agg(
+        F.sum("sz"), F.sum("_bad"), F.max("_mcp")
+    ).first()
+    n_rows = n_rows or 0  # empty corpus → null sums
+    use_int = (bad_len or 0) == 0 and (max_cp or 0) < HASH_BASE and HASH_BASE**n < HASH_MOD
+    if not use_int:
+        d_sh, d_rh = sh.agg(F.countDistinct("shingle"), F.countDistinct("rh")).first()
+        use_int = d_sh == d_rh
+    banded = per_doc.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("sig")[bi * rows + r] for r in range(rows)]
+                        F.array(
+                            *[F.col(f"h{bi * rows + r}") for r in range(rows)]
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket").cache()
+    ).select("id", "bb.band", "bb.bucket")
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
     if max_bucket_size is not None:
-        ok_buckets = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("bsz"))
-            .filter(F.col("bsz") <= max_bucket_size)
-            .select("band", "bucket")
-        )
-        pruned = banded.join(ok_buckets, ["band", "bucket"])
-    else:
-        pruned = banded
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # near-dup clusters collide in MOST of their bands, so the same id
+    # array recurs ~bands times; deduping the member ARRAYS first cuts
+    # the pair explosion by that factor (union of cliques ≡ union of
+    # the distinct cliques), the final pair distinct handles overlap
+    # spread the verify: candidate rows are only ~16 bytes, so AQE
+    # coalesces a plain distinct down to a handful of partitions (6 at
+    # sf0.1) — but every row above it fans into an array-intersect far
+    # heavier than its shuffle bytes, serializing the verify on a
+    # near-idle cluster.  Repartitioning by the pair key at an explicit
+    # width (user-specified counts are exempt from AQE coalescing)
+    # keeps the verify at full parallelism, and dropDuplicates on data
+    # already hash-partitioned by its keys adds no second exchange.
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     cand = (
-        pruned.alias("x")
-        .join(pruned.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        grouped.filter(F.size("ids") >= 2)
+        .select("ids")
         .distinct()
-    )
-    # exact verify on the candidate set, over the SAME cached shingles,
-    # via per-doc shingle ARRAYS + array_intersect: two id-keyed joins
-    # carry O(candidates) rows, each holding one bounded doc-set array
-    # (shingle count ≤ text length, which a corpus pipeline chunks) —
-    # the exploded (id, shingle) equi-join variant materialized
-    # O(candidates × shingles) join rows (266M at sf0.1, 18.6 s; this
-    # plan verifies the same 888k candidates in ~2 s).  Counts are
-    # identical: |set ∩ set| over the same distinct shingles.
-    doc_sets = sh.groupBy("id").agg(
-        F.collect_list("shingle").alias("shs"), F.count("*").alias("sz")
-    )
-    out = (
-        cand.join(
-            doc_sets.select(
-                F.col("id").alias("id_a"), F.col("shs").alias("sa"), F.col("sz").alias("sz_a")
-            ),
+        .select(F.posexplode("ids").alias("_i", "id_a"), F.col("ids"))
+        .select(
             "id_a",
+            F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("id_b"),
         )
-        .join(
-            doc_sets.select(
-                F.col("id").alias("id_b"), F.col("shs").alias("sb"), F.col("sz").alias("sz_b")
-            ),
-            "id_b",
+        .repartition(npart, F.col("id_a"), F.col("id_b"))
+        .dropDuplicates()
+    )
+    # exact verify on the candidate set via per-doc set ARRAYS +
+    # array_intersect: two id-keyed joins carry O(candidates) rows, each
+    # holding one bounded doc-set array (shingle count ≤ text length,
+    # which a corpus pipeline chunks) — the exploded (id, shingle)
+    # equi-join variant materialized O(candidates × shingles) join rows
+    # (266M at sf0.1, 18.6 s).  Counts are identical: |set ∩ set| over
+    # the same distinct shingles (see the int-hash proof above).
+    from ..session import parse_size_bytes
+
+    threshold_b = parse_size_bytes(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864"),
+        default=64 * 1024 * 1024,
+    )
+    # both verify-join sides project the cached per_doc table, so each
+    # broadcast build is a 5k-row cache scan, not a recomputation
+    est = 48 * n_docs + (16 if use_int else 56) * n_rows
+    caches = [per_doc]
+    if use_int:
+        doc_sets = per_doc.select("id", "shs", "sz")
+    else:
+        # rare path (hash provably or possibly collides): string verify
+        # sets, re-aggregated once and cached (both join sides read it)
+        doc_sets = sh.groupBy("id").agg(
+            F.collect_list("shingle").alias("shs"), F.count(F.lit(1)).alias("sz")
+        ).cache()
+        doc_sets.count()
+        caches.append(doc_sets)
+
+    def _ds(alias_id: str, alias_shs: str, alias_sz: str):
+        side = doc_sets.select(
+            F.col("id").alias(alias_id),
+            F.col("shs").alias(alias_shs),
+            F.col("sz").alias(alias_sz),
         )
+        return F.broadcast(side) if 0 < est <= threshold_b else side.hint("shuffle_hash")
+
+    out = (
+        cand.join(_ds("id_a", "sa", "sz_a"), "id_a")
+        .join(_ds("id_b", "sb", "sz_b"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return _materialize_and_release(out, sh, banded)
+    return _materialize_and_release(out, *caches)
 
 
 def simhash_signatures(

@@ -57,6 +57,14 @@ def _norm(a):
     )
 
 
+# NOTE (r7): unrolling these folds to fixed-dim codegen arithmetic was
+# tried and REVERTED — a 64-dim × 32-plane unroll builds ~2k-node
+# expression trees whose Janino compilation cost (~15 s, paid per
+# call) dwarfs the interpreted-fold evaluation it saves at any batch
+# size this operator sees; the interpreted HOF cost is ~10 CPU-s at
+# sf0.1 and the real wins were structural (see embedding_neardup_pairs).
+
+
 def _cosine(ivec, qvec, inorm, qnorm):
     """Guarded cosine: a zero-norm vector scores -1.0 instead of NaN —
     Spark orders NaN ABOVE every double, so unguarded zero vectors
@@ -423,38 +431,54 @@ def embedding_neardup_pairs(
         .select(F.col("bk.t").alias("t"), F.col("bk.b").alias("b"), "id")
         .cache()
     )
-    keyed = hashed
+    # candidate pairs from ONE groupBy per bucket (collect ids, cap
+    # filter, pair-explode the sorted array) instead of size-filter
+    # anti-join + self-join — the r6 plan shuffled hashed three times.
+    # Near-dup groups collide in many tables, so dedup the member
+    # ARRAYS before exploding (union of cliques ≡ union of the distinct
+    # cliques; the final pair distinct handles partial overlap).
+    # hashed feeds exactly one subtree, so the cache populates inside
+    # the final job — no pre-count needed.
+    grouped = hashed.groupBy("t", "b").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     if max_bucket is not None:
-        big = (
-            hashed.groupBy("t", "b")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .filter(F.col("_c") > max_bucket)
-        )
-        keyed = hashed.join(big.select("t", "b"), ["t", "b"], "left_anti")
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    # pair dedup rides the SAME exchange that spreads the re-score:
+    # repartition by the pair key at an explicit width (candidate rows
+    # are ~16 bytes but fan into a dim-wide cosine each, so AQE's
+    # byte-based coalescing would run the verify on a handful of
+    # tasks), then dropDuplicates — already hash-partitioned on its
+    # keys at that width, so it adds no second exchange
+    npart = int(items.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     cand = (
-        keyed.select("t", "b", F.col("id").alias("id_a"))
-        .join(keyed.select("t", "b", F.col("id").alias("id_b")), ["t", "b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        grouped.filter(F.size("ids") >= 2)
+        .select("ids")
+        .distinct()
+        .select(F.posexplode("ids").alias("_i", "id_a"), F.col("ids"))
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("id_b"),
+        )
+        .repartition(npart, F.col("id_a"), F.col("id_b"))
+        .dropDuplicates()
     )
+    # vector re-attach: plain equi-joins — the vec side's size estimate
+    # comes straight from the parquet scan, so Catalyst/AQE broadcasts
+    # it while it fits the threshold and falls back to a shuffle join
+    # at corpus scale (no driver-side sizing pass needed)
     vecs = items.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
+
+    def _vs(aid: str, av: str, an: str):
+        return vecs.select(
+            F.col("id").alias(aid), F.col("v").alias(av), F.col("nrm").alias(an)
+        )
+
     out = (
-        cand.join(
-            vecs.select(
-                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-            ),
-            "id_a",
-        )
-        .join(
-            vecs.select(
-                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-            ),
-            "id_b",
-        )
+        cand.join(_vs("id_a", "va", "na"), "id_a")
+        .join(_vs("id_b", "vb", "nb"), "id_b")
         .select(
             "id_a",
             "id_b",

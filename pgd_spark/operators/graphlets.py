@@ -57,10 +57,11 @@ def edge_graphlet_counts(
     (used by the edge-sampled approximate census).
 
     ``kernel_impl`` (broadcast strategy only): "auto" picks the
-    whole-batch vectorized numpy kernel when avg degree ≤
-    kernels.VEC_MAX_AVG_DEG (measured 5-13x faster there) and the
-    per-edge mark kernel above it (2-10x faster on dense graphs);
-    "vec"/"loop" force one.
+    compiled C mark kernel when a toolchain is available (ckernel.py;
+    measured 9x the numpy loop on dense, 100x the vectorized path on
+    sparse), else the whole-batch vectorized numpy kernel when avg
+    degree ≤ kernels.VEC_MAX_AVG_DEG (measured 5-13x faster there) and
+    the per-edge mark kernel above it; "c"/"vec"/"loop" force one.
     """
     if strategy == "auto":
         strategy = "broadcast" if g.num_edges() <= broadcast_max_edges else "distributed"
@@ -92,8 +93,17 @@ def _edge_counts_broadcast(
     dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
     m = len(src)
     if impl == "auto":
-        n_est = len(np.unique(np.concatenate([src, dst]))) or 1
-        impl = "vec" if 2.0 * m / n_est <= VEC_MAX_AVG_DEG else "loop"
+        # compiled C kernel first (measured 9x the numpy loop on the
+        # dense sf0.1 co-purchase graph, 100x the vectorized kernel on
+        # a 2M-edge sparse graph — see ckernel.py); hosts without a C
+        # toolchain keep the old numpy density heuristic
+        from pgd_spark.operators.ckernel import available as _c_available
+
+        if _c_available():
+            impl = "c"
+        else:
+            n_est = len(np.unique(np.concatenate([src, dst]))) or 1
+            impl = "vec" if 2.0 * m / n_est <= VEC_MAX_AVG_DEG else "loop"
     # broadcast raw edge arrays; each worker builds + caches the CSR
     # and the degree-oriented edge view locally (in parallel).  The
     # parallelized input is just a row-id range -- no edge bytes cross

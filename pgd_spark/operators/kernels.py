@@ -327,9 +327,11 @@ def make_range_kernel(
     mix64(v,u,seed) % denom < limit (the approximate-census filter),
     evaluated in numpy before any kernel work.
 
-    ``impl``: "vec" (whole-batch vectorized — wins big on sparse
-    graphs) or "loop" (the per-edge mark kernel — wins on dense ones);
-    callers pick via VEC_MAX_AVG_DEG (see edge_graphlet_counts).
+    ``impl``: "c" (compiled mark kernel, see ckernel.py — fastest
+    everywhere a C toolchain exists), "vec" (whole-batch vectorized —
+    wins big on sparse graphs) or "loop" (the per-edge numpy mark
+    kernel — wins on dense ones); callers pick via ckernel.available()
+    then VEC_MAX_AVG_DEG (see edge_graphlet_counts).
     """
     import hashlib
 
@@ -354,6 +356,16 @@ def make_range_kernel(
         uniq, indptr, indices, ov, ou, deg, adjbm, ekeys_pad = state
         n = len(uniq)
         member = _adjacency_membership(n, adjbm, ekeys_pad) if impl == "vec" else None
+        scratch = None
+        if impl == "c":
+            from pgd_spark.operators.ckernel import edge_counts_batch_c
+
+            # mmap'd state arrays are read-only; the C kernel needs
+            # C-contiguous int64 views (no copy for .npy files) and one
+            # zeroed per-task mark scratch reused across batches
+            indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+            indices = np.ascontiguousarray(indices, dtype=np.int64)
+            scratch = np.zeros(n, dtype=np.int8)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -375,7 +387,11 @@ def make_range_kernel(
                 v, u = v[keep], u[keep]
                 if len(v) == 0:
                     continue
-            if impl == "vec":
+            if impl == "c":
+                tri, cliq, cyc = edge_counts_batch_c(
+                    v, u, indptr, indices, n, ind=scratch
+                )
+            elif impl == "vec":
                 tri, cliq, cyc = edge_counts_batch_vec(v, u, indptr, indices, n, member)
             else:
                 tri, cliq, cyc = edge_counts_batch(v, u, indptr, indices, n)

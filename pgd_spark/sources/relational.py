@@ -50,7 +50,14 @@ def copurchase_edges(lineitem: DataFrame, max_partkey: int | None = None) -> Dat
 
 
 def copurchase_graph(spark: SparkSession, sf_dir: str, max_partkey: int | None = None) -> Graph:
-    return Graph(copurchase_edges(load_table(spark, sf_dir, "lineitem"), max_partkey), already_canonical=True)
+    """The derived graph PERSISTS its edge table: every consumer of the
+    co-purchase graph (census kernel toPandas, adjacency, degrees, CC)
+    re-reads the edges, and without the persist each action re-ran the
+    lineitem self-join + distinct from parquet (measured: the census
+    re-derived the edges once per repetition).  The first action —
+    num_edges() in the derivation step — pays the materialization."""
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"), max_partkey)
+    return Graph(edges.persist(), already_canonical=True)
 
 
 def events_session_edges(events: DataFrame) -> DataFrame:
