@@ -379,51 +379,78 @@ def connected_components(
     if algorithm == "two_phase":
         return _cc_two_phase(g, max_iter, checkpoint_dir, log)
     spark = g.spark
-    edges = g.symmetric()
     log = log if log is not None else IterationLog()
 
+    # Grouped self-loop-augmented adjacency [v, nbrs ∪ {v}], persisted
+    # hash-partitioned on v (r7, mirroring pagerank_prepare): one round
+    # = join labels to n adjacency rows (ZERO-exchange — the previous
+    # round's agg left labels partitioned on the same key and width) +
+    # explode + partial-min'd groupBy, so only the map-side-combined
+    # (v, component) mins cross the wire.  The r6 plan joined the flat
+    # 2m+n edge table each round, re-shuffling both sides (2 exchanges
+    # and ~55-120 CPU-s per bench run at sf0.1; this shape measures
+    # less than half that).  The union keeps one row per vertex with v
+    # prepended — min over N(v) ∪ {v}, one reference to the previous
+    # iterate per round, so chained rounds compose into a linear plan.
+    npart = auto_npart(spark, 2 * g.num_edges())
+    with suspend_aqe(spark), pinned_shuffle(spark, npart):
+        adj_plus = (
+            g.adjacency()
+            .select("v", F.concat(F.array("v"), "nbrs").alias("nbrs"))
+            .repartition(npart, "v")
+            .persist()
+        )
+        adj_plus.count()
+        try:
+            return _cc_hashmin_loop(
+                g, adj_plus, max_iter, checkpoint_dir, log, check_interval
+            )
+        finally:
+            adj_plus.unpersist()
+
+
+def _cc_hashmin_loop(g, adj_plus, max_iter, checkpoint_dir, log, check_interval):
+    spark = g.spark
     labels, start_it = _latest_checkpoint(spark, checkpoint_dir, "cc")
     if labels is None:
-        labels = g.degrees().select("v", F.col("v").alias("component"))
+        # derived from adj_plus so round 1's join starts co-partitioned
+        labels = adj_plus.select("v", F.col("v").alias("component"))
         start_it = -1
 
-    # self-loop-augmented edge table: one round becomes a SINGLE
-    # join+agg (min over N(v) ∪ {v}) that references the previous
-    # iterate exactly once — chained rounds therefore compose into a
-    # linear plan.  (The naive "min with own label" formulation
-    # references the iterate twice per round; Spark re-executes
-    # self-referenced subplans, so k chained rounds would cost 2^k.)
-    edges_plus = edges.unionByName(g.degrees().select("v", F.col("v").alias("w")))
     k = 1 if checkpoint_dir else max(check_interval, 1)
     it = start_it + 1
-    with suspend_aqe(spark):
-        while it < max_iter:
-            t0 = time.time()
-            kk = min(k, max_iter - it)
-            cur = labels
-            for _ in range(kk):
-                cur = (
-                    cur.select("v", "component").join(edges_plus, "v")
-                    .groupBy(F.col("w").alias("v"))
-                    .agg(F.min("component").alias("component"))
-                )
-            # last-round delta: join the block's input back (2× the
-            # chain's leaves total — NOT per round — still linear)
-            obs = Observation()
-            observed = cur.join(
-                labels.select("v", F.col("component").alias("prev")), "v"
-            ).observe(
-                obs, F.sum((F.col("component") != F.col("prev")).cast("long")).alias("changed")
-            ).select("v", "component")
-            labels = _cut_lineage(observed, checkpoint_dir, "cc", it + kk - 1, log)
-            changed = int(obs.get["changed"] or 0)
-            log.add(
-                algo="cc", iter=it + kk - 1, rounds=kk, changed=changed,
-                seconds=time.time() - t0,
+    while it < max_iter:
+        t0 = time.time()
+        kk = min(k, max_iter - it)
+        cur = labels
+        for _ in range(kk):
+            # SHUFFLE_HASH on the LABELS side: the n-row label
+            # vector is the hash-build side; the adjacency rows
+            # stream through the probe (same choice as pagerank)
+            cur = (
+                cur.select("v", "component").hint("SHUFFLE_HASH")
+                .join(adj_plus, "v")
+                .select(F.explode("nbrs").alias("v"), "component")
+                .groupBy("v")
+                .agg(F.min("component").alias("component"))
             )
-            it += kk
-            if changed == 0:
-                return labels
+        # last-round delta: join the block's input back (2× the
+        # chain's leaves total — NOT per round — still linear)
+        obs = Observation()
+        observed = cur.join(
+            labels.select("v", F.col("component").alias("prev")), "v"
+        ).observe(
+            obs, F.sum((F.col("component") != F.col("prev")).cast("long")).alias("changed")
+        ).select("v", "component")
+        labels = _cut_lineage(observed, checkpoint_dir, "cc", it + kk - 1, log)
+        changed = int(obs.get["changed"] or 0)
+        log.add(
+            algo="cc", iter=it + kk - 1, rounds=kk, changed=changed,
+            seconds=time.time() - t0,
+        )
+        it += kk
+        if changed == 0:
+            return labels
     # hashmin propagates min labels one hop per round: exhausting
     # max_iter on a graph with diameter > max_iter returns WRONG labels
     # — fail loudly (use algorithm="two_phase" for high-diameter graphs,
