@@ -132,16 +132,11 @@ def edges_from_transcripts(
     else:
         vm = vertex_map(transcripts).persist()
         vm.count()
-    # Map role/tool strings to their int64 vids BEFORE the window: the
-    # broadcast joins are map-side (no shuffle), so the window's sort
-    # shuffle — the only large data movement in this job, every row of
-    # the table — carries (conv_id, turn_idx, rvid, tvid) instead of
-    # (conv_id, turn_idx, role-string, tool-string).  At 10^12 turns
-    # that is the difference between shuffling terabytes of repeated
-    # strings and shuffling ints; on one box it cuts the sort's memory
-    # traffic, which is what saturates first at high thread counts
-    # (lead() over a vid yields the same edge as lead() over the name —
-    # the vid map is 1:1 by construction).
+    # Map role/tool strings to their int64 vids FIRST: the broadcast
+    # joins are map-side (no shuffle), so the only large data movement
+    # in this job carries (conv_id, turn_idx, rvid, tvid) instead of
+    # repeated role/tool strings (lead/adjacency over a vid yields the
+    # same edge as over the name — the vid map is 1:1 by construction).
     vr = vm.filter(F.col("kind") == "r").select(
         F.col("name").alias("role"), F.col("vid").alias("rvid")
     )
@@ -149,21 +144,44 @@ def edges_from_transcripts(
         F.col("name").alias("tool"), F.col("vid").alias("tvid")
     )
     # LEFT joins: a null/unmapped role must still occupy its adjacency
-    # slot through the window (its pairs then drop on the null vid,
-    # exactly as the old post-window string join dropped them)
+    # slot in the per-conversation sequence (its pairs then drop on the
+    # null vid, exactly as the old post-window string join dropped them)
     mapped = (
         transcripts.select("conv_id", "turn_idx", "role", "tool")
         .join(F.broadcast(vr), "role", "left")
         .join(F.broadcast(vt), "tool", "left")
         .select("conv_id", "turn_idx", "rvid", "tvid")
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    t = mapped.select("rvid", "tvid", F.lead("rvid").over(w).alias("next_rvid"))
-    a = t.filter(F.col("rvid").isNotNull() & F.col("next_rvid").isNotNull()).select(
-        F.col("rvid").alias("src"), F.col("next_rvid").alias("dst")
+    # Turn adjacency WITHOUT a window (r7, VERDICT r6 #1 taken to its
+    # end state): partitionBy(conv_id) windowing range-SORT-shuffled
+    # every row keyed by the conv_id STRING — the largest field in the
+    # shuffled row.  A hash groupBy + collect_list instead (a) needs no
+    # sort, (b) map-side-combines each conversation's turns into one
+    # list row per map partition, so the string key crosses the wire
+    # once per conversation, not once per turn.  array_sort on the
+    # (turn_idx, rvid, tvid) struct reproduces the window's turn order
+    # (turn_idx leads the comparison; with unique turn_idx — the
+    # transcript contract — the sequences are identical, and with
+    # duplicates both formulations were order-arbitrary).
+    per_conv = mapped.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "rvid", "tvid"))).alias("ts")
     )
-    b = t.filter(F.col("rvid").isNotNull() & F.col("tvid").isNotNull()).select(
-        F.col("rvid").alias("src"), F.col("tvid").alias("dst")
+    ts = F.col("ts")
+    tail = F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(1)))
+    pairs_a = F.filter(
+        F.zip_with(
+            ts, tail,
+            lambda x, y: F.struct(x["rvid"].alias("src"), y["rvid"].alias("dst")),
+        ),
+        lambda s: s["src"].isNotNull() & s["dst"].isNotNull(),
     )
-    edges = a.unionAll(b)
+    pairs_b = F.filter(
+        F.transform(
+            ts, lambda x: F.struct(x["rvid"].alias("src"), x["tvid"].alias("dst"))
+        ),
+        lambda s: s["src"].isNotNull() & s["dst"].isNotNull(),
+    )
+    edges = per_conv.select(
+        F.explode(F.concat(pairs_a, pairs_b)).alias("e")
+    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
     return Graph.from_edges(edges), vm
