@@ -35,7 +35,16 @@ def copurchase_edges(lineitem: DataFrame, max_partkey: int | None = None) -> Dat
     li = lineitem.select("l_orderkey", "l_partkey")
     if max_partkey is not None:
         li = li.filter(F.col("l_partkey") <= max_partkey)
-    a = li.alias("a")
+    # Spread the PROBE side before the join: a small-file table arrives
+    # as one scan partition (maxPartitionBytes ≫ file size), and the
+    # broadcast join + pair explosion + partial-distinct then run on a
+    # single task while the rest of the machine idles.  The ~10 MB key
+    # shuffle this costs is repaid many times by a 32-way join stage;
+    # inputs that already carry enough partitions pass through (a real
+    # multi-file table at scale does).  The build side stays narrow —
+    # it is collected for the broadcast anyway.
+    par = lineitem.sparkSession.sparkContext.defaultParallelism
+    a = (li.repartition(par) if li.rdd.getNumPartitions() < par else li).alias("a")
     b = li.alias("b")
     edges = (
         a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
