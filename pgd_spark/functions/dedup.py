@@ -514,8 +514,14 @@ def dup_clusters(
     for frame, col, what in ((pairs, a_col, "pairs"), (pairs, b_col, "pairs")) + (
         ((docs, id_col, "docs"),) if docs is not None else ()
     ):
-        dt = dict(frame.dtypes).get(col)
-        if dt not in integral:
+        # Spark resolves column names case-insensitively — match that
+        # here, and accept decimal(p,0) ids (they cast to long cleanly);
+        # a truly absent column gets its own error (ADVICE r6)
+        dtypes = {k.lower(): v for k, v in frame.dtypes}
+        dt = dtypes.get(col.lower())
+        if dt is None:
+            raise TypeError(f"dup_clusters: column {col!r} not found in {what}")
+        if dt not in integral and not (dt.startswith("decimal(") and dt.endswith(",0)")):
             raise TypeError(
                 f"dup_clusters requires integral (int64) doc ids; {what}.{col} "
                 f"is {dt!r} — map ids to int64 first (e.g. a vertex map)"

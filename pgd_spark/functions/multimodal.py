@@ -66,6 +66,15 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int, float, str]:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: stdlib-fallback size envelope (VERDICT r6 #4): the Average/Paeth
+#: filter reversal is still a per-pixel Python loop, so a huge PNG
+#: inside the mapInPandas hot path could stall a task for minutes;
+#: beyond this many pixels the fallback refuses with the named-wheel
+#: error instead of silently being 100-1000x slower than PIL.
+PNG_MAX_PIXELS = 4_000_000
+
+_warned_stdlib_fallback = False
+
 
 def _stdlib_png_decode(payload: bytes) -> tuple[int, int, int, float, str]:
     """Real PNG decode with NOTHING but stdlib zlib+struct — the
@@ -95,28 +104,39 @@ def _stdlib_png_decode(payload: bytes) -> tuple[int, int, int, float, str]:
     width = height = None
     idat = []
     pos = len(_PNG_MAGIC)
-    while pos + 8 <= len(payload):
-        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
+    try:
+        while pos + 8 <= len(payload):
+            length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8:
+                    raise _unsupported(f"bit depth {depth}")
+                if interlace != 0:
+                    raise _unsupported("interlaced (Adam7)")
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+                if channels is None:
+                    raise _unsupported(f"color type {color}")
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+        if width is None or not idat:
+            raise _unsupported("missing IHDR/IDAT")
+        if width * height > PNG_MAX_PIXELS:
+            raise _unsupported(
+                f"{width}x{height} exceeds the stdlib fallback's "
+                f"{PNG_MAX_PIXELS}-pixel envelope"
             )
-            if depth != 8:
-                raise _unsupported(f"bit depth {depth}")
-            if interlace != 0:
-                raise _unsupported("interlaced (Adam7)")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if channels is None:
-                raise _unsupported(f"color type {color}")
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if width is None or not idat:
-        raise _unsupported("missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompress(b"".join(idat))
+    except (struct.error, zlib.error, IndexError) as e:
+        # malformed chunk lengths / corrupt deflate streams keep the
+        # documented error contract instead of leaking raw
+        # struct.error / zlib.error (ADVICE r6)
+        raise _unsupported(f"corrupt PNG: {e}") from e
     stride = width * channels
     if len(raw) < height * (stride + 1):
         raise _unsupported("truncated IDAT stream")
@@ -125,22 +145,31 @@ def _stdlib_png_decode(payload: bytes) -> tuple[int, int, int, float, str]:
     off = 0
     for y in range(height):
         ftype = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
-            np.intp
-        )
+        line_u8 = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
         off += stride + 1
         if ftype == 0:
-            cur = line
+            cur = line_u8.astype(np.intp)
         elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            cur = (line_u8 + prev) & 0xFF
+        elif ftype == 1:
+            # Sub: cur[x] = (line[x] + cur[x-channels]) & 0xFF is a
+            # per-channel-lane prefix sum; uint8 accumulate wraps mod
+            # 256 natively, so the whole scanline vectorizes (was a
+            # per-byte Python loop — VERDICT r6 #4 / ADVICE r6)
+            cur = (
+                np.add.accumulate(
+                    line_u8.reshape(width, channels), axis=0, dtype=np.uint8
+                )
+                .reshape(-1)
+                .astype(np.intp)
+            )
+        elif ftype in (3, 4):  # Average / Paeth: inherently left-sequential
+            line = line_u8.astype(np.intp)
             cur = np.zeros(stride, dtype=np.intp)
             for x in range(stride):
                 a = cur[x - channels] if x >= channels else 0
                 b = prev[x]
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + b) >> 1
                 else:
                     c = prev[x - channels] if x >= channels else 0
@@ -151,10 +180,14 @@ def _stdlib_png_decode(payload: bytes) -> tuple[int, int, int, float, str]:
             raise _unsupported(f"filter type {ftype}")
         img[y] = cur
         prev = cur
-    px = img.reshape(height, width, channels).astype(np.float64)
+    px = img.reshape(height, width, channels).astype(np.int64)
     if channels >= 3:
-        # PIL convert("L"): ITU-R 601-2, integer-truncated per pixel
-        luma = (px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114) // 1000
+        # PIL convert("L"): ITU-R 601-2 in PIL's exact fixed-point form
+        # (rounded 16.16 weights, +0x8000 then >>16) — per-pixel equal
+        # to Pillow, not just within 1/255 (ADVICE r6)
+        luma = (
+            px[..., 0] * 19595 + px[..., 1] * 38470 + px[..., 2] * 7471 + 0x8000
+        ) >> 16
     else:
         luma = px[..., 0]
     return width, height, channels, float(luma.mean() / 255.0), "png"
@@ -180,6 +213,21 @@ def decode_image_meta(
 
                 decode = _pil_decode
             except ImportError:
+                global _warned_stdlib_fallback
+                if not _warned_stdlib_fallback:
+                    # once per worker process: operators reading the
+                    # executor logs learn the pillow wheel is missing
+                    # instead of only noticing the slower decode path
+                    import warnings
+
+                    warnings.warn(
+                        "PIL (pillow) not importable on this worker; using "
+                        "the slower stdlib PNG fallback — deploy the pillow "
+                        "wheel for non-PNG formats and full speed",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    _warned_stdlib_fallback = True
                 decode = _stdlib_png_decode
         for pdf in batches:
             metas = [decode(bytes(p)) for p in pdf["payload"]]

@@ -109,9 +109,16 @@ def parse_size_bytes(size: str | int, default: int) -> int:
     s = size.strip().lower()
     if s.lstrip("-").isdigit():
         return int(s)
-    if len(s) > 1 and s.endswith("b") and s[-2] in "kmgt":
-        s = s[:-1]
-    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}.get(s[-1:], None)
+    if len(s) > 1 and s.endswith("b"):
+        if s[-2] in "kmgtp":
+            s = s[:-1]
+        elif s[:-1].lstrip("-").isdigit():
+            # bare-byte suffix ('10485760b') — Spark's byteStringAs
+            # grammar accepts it as plain bytes (ADVICE r6)
+            return int(s[:-1])
+    mult = {
+        "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5
+    }.get(s[-1:], None)
     try:
         if mult is not None:
             return int(float(s[:-1]) * mult)

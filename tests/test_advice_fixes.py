@@ -464,3 +464,35 @@ def test_bracket_flat_acceptance_rule():
     assert _bracket_flat(0.80, 0.95) is False   # >10% apart
     assert _bracket_flat(0.999, 0.921) is True  # 8.5% apart, both sane
     assert _bracket_flat(None, 0.9) is None     # quick mode: unknown
+
+
+def test_parse_size_bytes_bare_b_and_pebi():
+    """ADVICE r6: bare-byte suffix ('10485760b') and p/pb must parse
+    per Spark's byteStringAs grammar instead of returning the default."""
+    from pgd_spark.session import parse_size_bytes
+
+    assert parse_size_bytes("10485760b", 0) == 10485760
+    assert parse_size_bytes("1p", 0) == 1024**5
+    assert parse_size_bytes("1pb", 0) == 1024**5
+    assert parse_size_bytes("garbage", 42) == 42
+
+
+def test_dup_clusters_id_gate_case_and_decimal(spark):
+    """ADVICE r6: case-different id columns and decimal(p,0) ids pass
+    the integral gate; an absent column names itself."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pgd_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "ID_A long, Id_B long")
+    out = dup_clusters(pairs)  # case-insensitive lookup, like Spark
+    assert {(r["doc_id"], r["canonical_id"]) for r in out.collect()} == {(1, 1), (2, 1)}
+
+    dec = spark.createDataFrame([(1, 2)], "id_a long, id_b long").select(
+        F.col("id_a").cast("decimal(10,0)").alias("id_a"), "id_b"
+    )
+    assert dup_clusters(dec).count() == 2
+
+    with pytest.raises(TypeError, match="not found"):
+        dup_clusters(spark.createDataFrame([(1, 2)], "x long, id_b long"))
