@@ -430,12 +430,12 @@ def simhash_dedup(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """[id_a, id_b, hamming] — SimHash near-dups: 4×16-bit band join
-    (any pair within Hamming ≤3 of 64 bits shares ≥1 exact 16-bit
-    quarter by pigeonhole), then exact Hamming verify.  Executes
-    eagerly and releases the signature cache (see
+    """[id_a, id_b, hamming] — SimHash near-dups: 4×16-bit quarter
+    buckets (any pair within Hamming ≤3 of 64 bits shares ≥1 exact
+    16-bit quarter by pigeonhole) via one groupBy-collect +
+    pair-explode, then exact Hamming verify.  Executes eagerly (see
     _materialize_and_release)."""
-    sig = simhash_signatures(df, id_col, text_col).cache()
+    sig = simhash_signatures(df, id_col, text_col)
     quarters = sig.select(
         "id",
         "simhash",
@@ -451,24 +451,33 @@ def simhash_dedup(
             )
         ).alias("s"),
     ).select("id", "simhash", "s.q", "s.qv")
+    # candidate pairs from ONE groupBy per quarter-bucket, carrying the
+    # signatures inside the collected structs so no rejoin is needed
+    # (r7 — the old plan cached the signature table and shuffled the
+    # exploded quarters three times: bucket self-join both sides plus
+    # the pair distinct); sort_array orders by id (the struct's leading
+    # field, unique), so slice-pairs reproduce x.id < y.id exactly.
+    members = quarters.groupBy("q", "qv").agg(
+        F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("ms")
+    )
     cand = (
-        quarters.alias("x")
-        .join(quarters.alias("y"), ["q", "qv"])
-        .filter(F.col("x.id") < F.col("y.id"))
+        members.filter(F.size("ms") >= 2)
+        .select(F.posexplode("ms").alias("_i", "a"), F.col("ms"))
+        .select("a", F.explode(F.slice("ms", F.col("_i") + 2, F.size("ms"))).alias("b"))
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
         )
-        .distinct()
+        .dropDuplicates(["id_a", "id_b"])
     )
     out = (
         cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return _materialize_and_release(out, sig)
+    return _materialize_and_release(out)
 
 
 def dup_clusters(
