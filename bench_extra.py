@@ -138,6 +138,55 @@ def main() -> None:
         lambda: connected_components(g).select("component").distinct().count(),
         reps=3,
     )
+
+    # ---- real PNG decode end-to-end (VERDICT r6 #7): 1k synthetic
+    # 64x64 RGB PNGs through decode_image_meta(use_real_codecs=True) —
+    # in this sandbox that exercises the stdlib zlib fallback inside
+    # the mapInPandas plumbing (incl. the r7-vectorized Sub filter)
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def _png(px):
+        h, w, ch = px.shape
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(
+                ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+            )
+
+        raw = bytearray()
+        for y in range(h):
+            raw.append(1 if y % 2 else 0)  # alternate None/Sub filters
+            row = px[y].reshape(-1).astype(np.int64)
+            if y % 2:
+                # Sub-encode: d[x] = row[x] - row[x-ch]
+                d = row.copy()
+                d[ch:] -= row[:-ch]
+                raw.extend((d & 0xFF).astype(np.uint8).tobytes())
+            else:
+                raw.extend(row.astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(3)
+    payloads = [
+        (i, bytearray(_png(rng.randint(0, 256, (64, 64, 3), dtype=np.uint8))))
+        for i in range(1000)
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    from pgd_spark.functions.multimodal import decode_image_meta
+
+    sc.setJobDescription("real png decode")
+    out["png_decoded"] = timed(
+        "png_decode_1k",
+        lambda: decode_image_meta(media, use_real_codecs=True).count(),
+        reps=2,
+    )
     sc.setJobDescription(None)
 
     try:
